@@ -1,0 +1,260 @@
+"""Detector assembly: Detector3DTemplate topology + concrete detectors.
+
+Mirrors /root/reference/pcdet/models/detectors/: the module topology
+vfe -> backbone_3d -> map_to_bev -> backbone_2d -> dense_head
+(detector3d_template.py:25-29) with config-driven construction, plus
+post-processing NMS (detector3d_template.py:249+).
+
+Concrete detectors (registry parity with detectors/__init__.py:14-27):
+SECONDNet, CenterPoint, PointPillar — all share the template forward; they
+differ only in configured modules, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import boxes as box_ops
+from ..utils.edict import EDict
+from .backbones_2d import BACKBONES_2D, MAP_TO_BEV
+from .backbones_3d import BACKBONES_3D
+from .dense_heads import DENSE_HEADS
+from .vfe import VFES
+
+
+class Detector3DTemplate(nn.Module):
+    """Config-driven detector. model_cfg/dataset_cfg are hashable EDicts
+    captured at construction (static)."""
+
+    model_cfg: Any
+    num_classes: int
+    grid_size: tuple  # (nx, ny, nz)
+    point_cloud_range: tuple
+    voxel_size: tuple
+    voxel_cap: int = 16384
+
+    def setup(self):
+        cfg = self.model_cfg
+        # VFE
+        vfe_cfg = cfg["VFE"]
+        name = vfe_cfg["NAME"]
+        if name in ("DynamicMeanVFE", "MeanVFE"):
+            self.vfe = DynamicMeanVFE(
+                voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
+                voxel_cap=self.voxel_cap,
+            )
+        elif name in ("DynPillarVFE", "DynamicPillarVFE"):
+            self.vfe = VFES[name](
+                voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
+                pillar_cap=self.voxel_cap,
+                num_filters=tuple(vfe_cfg.get("NUM_FILTERS", [64])),
+            )
+        else:
+            raise KeyError(name)
+
+        # 3D backbone (pillar models skip it)
+        if "BACKBONE_3D" in cfg:
+            b3d = cfg["BACKBONE_3D"]
+            self.backbone_3d = BACKBONES_3D[b3d["NAME"]](
+                input_channels=0, grid_size=self.grid_size,
+            )
+        else:
+            self.backbone_3d = None
+
+        m2b = cfg.get("MAP_TO_BEV", {"NAME": "HeightCompression"})
+        if m2b["NAME"] == "PointPillarScatter":
+            self.map_to_bev = PointPillarScatterWrap(grid_size=self.grid_size)
+        else:
+            self.map_to_bev = MAP_TO_BEV[m2b["NAME"]]()
+
+        b2d = cfg.get("BACKBONE_2D", {"NAME": "BaseBEVBackbone"})
+        self.backbone_2d = BACKBONES_2D["BaseBEVBackbone"](
+            layer_nums=tuple(b2d.get("LAYER_NUMS", [5, 5])),
+            layer_strides=tuple(b2d.get("LAYER_STRIDES", [1, 2])),
+            num_filters=tuple(b2d.get("NUM_FILTERS", [128, 256])),
+            upsample_strides=tuple(int(u) for u in b2d.get("UPSAMPLE_STRIDES", [1, 2])),
+            num_upsample_filters=tuple(b2d.get("NUM_UPSAMPLE_FILTERS", [256, 256])),
+        )
+
+        head_cfg = cfg["DENSE_HEAD"]
+        stride = 8 if self.backbone_3d is not None else 1
+        if head_cfg["NAME"] == "CenterHead":
+            self.dense_head = CenterHeadWrap(
+                num_classes=self.num_classes,
+                grid_size_xy=(self.grid_size[0], self.grid_size[1]),
+                point_cloud_range=self.point_cloud_range,
+                feature_stride=int(head_cfg.get("FEATURE_MAP_STRIDE", stride)),
+            )
+        else:
+            anchor_cfgs = []
+            for acfg in head_cfg.get("ANCHOR_GENERATOR_CONFIG", []):
+                anchor_cfgs.append(
+                    dict(
+                        sizes=tuple(map(tuple, acfg["anchor_sizes"])),
+                        rotations=tuple(acfg["anchor_rotations"]),
+                        heights=tuple(acfg["anchor_bottom_heights"]),
+                        matched_threshold=float(acfg["matched_threshold"]),
+                        unmatched_threshold=float(acfg["unmatched_threshold"]),
+                    )
+                )
+            fm_stride = int(head_cfg.get("FEATURE_MAP_STRIDE", stride))
+            self.dense_head = AnchorHeadWrap(
+                num_classes=self.num_classes,
+                grid_size_xy=(self.grid_size[0] // fm_stride, self.grid_size[1] // fm_stride),
+                point_cloud_range=self.point_cloud_range,
+                anchor_cfgs=tuple(EDictHashable(a) for a in anchor_cfgs),
+            )
+
+    def __call__(self, batch_dict, train: bool = False):
+        batch_dict = self.vfe(batch_dict, train)
+        if self.backbone_3d is not None:
+            batch_dict = self.backbone_3d(batch_dict, train)
+        batch_dict = self.map_to_bev(batch_dict, train)
+        batch_dict = self.backbone_2d(batch_dict, train)
+        batch_dict = self.dense_head(batch_dict, train)
+        if train:
+            losses = self.dense_head.loss(batch_dict)
+            batch_dict["losses"] = losses
+        return batch_dict
+
+
+class EDictHashable(dict):
+    """Hashable frozen dict so anchor configs can be flax static fields."""
+
+    def __hash__(self):
+        return hash(tuple(sorted((k, v) for k, v in self.items())))
+
+    def __eq__(self, other):
+        return dict.__eq__(self, other)
+
+
+class PointPillarScatterWrap(nn.Module):
+    grid_size: tuple
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        from .backbones_2d import PointPillarScatter
+
+        return PointPillarScatter(grid_size=self.grid_size)(batch_dict, train)
+
+
+class AnchorHeadWrap(nn.Module):
+    num_classes: int
+    grid_size_xy: tuple
+    point_cloud_range: tuple
+    anchor_cfgs: tuple
+
+    def setup(self):
+        from .dense_heads import AnchorHeadSingle
+
+        self.head = AnchorHeadSingle(
+            num_classes=self.num_classes,
+            grid_size_xy=self.grid_size_xy,
+            point_cloud_range=self.point_cloud_range,
+            anchor_cfgs=self.anchor_cfgs,
+        )
+
+    def __call__(self, batch_dict, train: bool = False):
+        return self.head(batch_dict, train)
+
+    def loss(self, batch_dict):
+        return self.head.loss(batch_dict)
+
+    def generate_predicted_boxes(self, batch_dict):
+        return self.head.generate_predicted_boxes(batch_dict)
+
+
+class CenterHeadWrap(nn.Module):
+    num_classes: int
+    grid_size_xy: tuple
+    point_cloud_range: tuple
+    feature_stride: int = 8
+
+    def setup(self):
+        from .dense_heads import CenterHead
+
+        self.head = CenterHead(
+            num_classes=self.num_classes,
+            grid_size_xy=self.grid_size_xy,
+            point_cloud_range=self.point_cloud_range,
+            feature_stride=self.feature_stride,
+        )
+
+    def __call__(self, batch_dict, train: bool = False):
+        return self.head(batch_dict, train)
+
+    def loss(self, batch_dict):
+        return self.head.loss(batch_dict)
+
+    def generate_predicted_boxes(self, batch_dict):
+        return self.head.generate_predicted_boxes(batch_dict)
+
+
+# ---------------------------------------------------------------------------
+# host-side post-processing (per batch element)
+# ---------------------------------------------------------------------------
+
+
+def post_process_anchor(boxes, scores, nms_thresh=0.7, score_thresh=0.1, pre_max=4096, post_max=500):
+    """class-agnostic NMS over decoded anchor predictions (reference
+    model_nms_utils.class_agnostic_nms). boxes [A, 7], scores [A, C]."""
+    cls_score = jnp.max(scores, axis=-1)
+    labels = jnp.argmax(scores, axis=-1) + 1
+    topv, topi = jax.lax.top_k(cls_score, min(pre_max, cls_score.shape[0]))
+    cand_boxes = boxes[topi]
+    cand_valid = topv > score_thresh
+    keep = box_ops.nms_bev(cand_boxes, topv, nms_thresh, valid=cand_valid)
+    order = jnp.argsort(-jnp.where(keep, topv, -jnp.inf))[:post_max]
+    return (
+        cand_boxes[order],
+        topv[order],
+        labels[topi][order],
+        keep[order] & (topv[order] > score_thresh),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_detector(model_cfg, runtime_cfg=None, dataset=None):
+    """Construct a flax detector from the composed config. dataset supplies
+    grid/range/voxel geometry (DATA_CONFIG)."""
+    runtime_cfg = runtime_cfg or {}
+    data_cfg = runtime_cfg.get("data_cfg", {})
+    pcr = tuple(data_cfg.get("POINT_CLOUD_RANGE", [-74.88, -74.88, -2, 74.88, 74.88, 4]))
+    voxel_size = tuple(data_cfg.get("VOXEL_SIZE", [0.1, 0.1, 0.15]))
+    nx = int(round((pcr[3] - pcr[0]) / voxel_size[0]))
+    ny = int(round((pcr[4] - pcr[1]) / voxel_size[1]))
+    nz = int(round((pcr[5] - pcr[2]) / voxel_size[2]))
+    num_classes = len(runtime_cfg.get("class_names", ["Vehicle", "Pedestrian", "Cyclist"]))
+    voxel_cap = int(runtime_cfg.get("voxel_cap", 16384))
+    return Detector3DTemplate(
+        model_cfg=EDictHashable({k: _freeze(v) for k, v in dict(model_cfg).items()}),
+        num_classes=num_classes,
+        grid_size=(nx, ny, nz),
+        point_cloud_range=pcr,
+        voxel_size=voxel_size,
+        voxel_cap=voxel_cap,
+    )
+
+
+def _freeze(v):
+    if isinstance(v, dict):
+        return EDictHashable({k: _freeze(x) for k, x in v.items()})
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+DETECTORS = {
+    "SECONDNet": build_detector,
+    "CenterPoint": build_detector,
+    "PointPillar": build_detector,
+}

@@ -1,0 +1,131 @@
+"""Shared flax layers: masked batch norm and sparse conv blocks.
+
+The sparse blocks mirror the reference's spconv building blocks
+(post_act_block / SparseBasicBlock, /root/reference/pcdet/models/blocks/
+spconv_blocks.py) on top of ops/sparse_conv.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import sparse_conv as sc
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the valid rows of a padded table.
+
+    Statistics exclude padding; running stats follow torch's
+    momentum=0.01/eps=1e-3 convention used throughout the reference
+    (spconv_backbone.py: norm_fn = partial(BatchNorm1d, eps=1e-3,
+    momentum=0.01))."""
+
+    momentum: float = 0.01
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            w = valid.astype(x.dtype)[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=0) / n
+            var = jnp.sum(w * (x - mean[None, :]) ** 2, axis=0) / n
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean[None, :]) * jax.lax.rsqrt(var[None, :] + self.eps)
+        y = y * scale[None, :] + bias[None, :]
+        return jnp.where(valid[:, None], y, 0.0)
+
+
+def _kernel_init(k, cin):
+    return nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+
+
+class SubMConvBlock(nn.Module):
+    """SubMConv3d + BN + ReLU (reference post_act_block, conv_type='subm')."""
+
+    out_channels: int
+    kernel_size: int = 3
+    use_norm: bool = True
+    use_act: bool = True
+
+    @nn.compact
+    def __call__(self, st: sc.SparseTensor, train: bool = False):
+        k = self.kernel_size ** 3
+        cin = st.features.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, cin, self.out_channels),
+        )
+        out = sc.subm_conv3d(st, w, kernel_size=self.kernel_size)
+        f = out.features
+        if self.use_norm:
+            f = MaskedBatchNorm()(f, out.valid, train)
+        if self.use_act:
+            f = nn.relu(f)
+        f = jnp.where(out.valid[:, None], f, 0.0)
+        return out._replace(features=f)
+
+
+class SparseConvBlock(nn.Module):
+    """Strided SparseConv3d + BN + ReLU (reference post_act_block,
+    conv_type='spconv')."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    out_cap: int | None = None
+    use_norm: bool = True
+    use_act: bool = True
+
+    @nn.compact
+    def __call__(self, st: sc.SparseTensor, train: bool = False):
+        k = self.kernel_size ** 3
+        cin = st.features.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, cin, self.out_channels),
+        )
+        out = sc.sparse_conv3d(
+            st, w, kernel_size=self.kernel_size, stride=self.stride,
+            padding=self.padding, out_cap=self.out_cap,
+        )
+        f = out.features
+        if self.use_norm:
+            f = MaskedBatchNorm()(f, out.valid, train)
+        if self.use_act:
+            f = nn.relu(f)
+        f = jnp.where(out.valid[:, None], f, 0.0)
+        return out._replace(features=f)
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual submanifold block (reference SparseBasicBlock,
+    blocks/spconv_blocks.py / spconv_backbone.py:12-45)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, st: sc.SparseTensor, train: bool = False):
+        identity = st.features
+        out = SubMConvBlock(self.channels, use_act=True)(st, train)
+        out = SubMConvBlock(self.channels, use_act=False)(out, train)
+        f = nn.relu(out.features + identity)
+        f = jnp.where(out.valid[:, None], f, 0.0)
+        return out._replace(features=f)

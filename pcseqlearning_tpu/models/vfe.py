@@ -1,0 +1,136 @@
+"""Voxel feature encoders.
+
+TPU-native rewrites of the reference VFE zoo
+(/root/reference/pcdet/models/backbones_3d/vfe/): MeanVFE, DynamicMeanVFE
+(torch_scatter dynamic voxelization, dynamic_mean_vfe.py:14-100), PillarVFE
+and DynPillarVFE (pillar_vfe.py). All operate on padded point tables and
+produce fixed-capacity voxel tables ready for the sparse backbone.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid_utils, segment_ops
+from .layers import MaskedBatchNorm
+
+
+class DynamicMeanVFE(nn.Module):
+    """Mean of point features per voxel, no fixed points-per-voxel cap.
+
+    Config parity: VOXEL_SIZE, POINT_CLOUD_RANGE from the dataset cfg;
+    NUM_POINT_FEATURES passthrough (reference dynamic_mean_vfe.py)."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    voxel_cap: int
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        points = batch_dict["point_bxyz"]  # [N, 4]
+        feats = batch_dict["point_feat"]  # [N, C]
+        valid = batch_dict.get("point_valid", jnp.ones(points.shape[0], bool))
+        pc_min = jnp.asarray(self.point_cloud_range[:3], points.dtype)
+        pc_max = jnp.asarray(self.point_cloud_range[3:], points.dtype)
+        inside = jnp.all((points[:, 1:4] >= pc_min) & (points[:, 1:4] < pc_max), axis=-1)
+        valid = valid & inside
+        pts = jnp.where(valid[:, None], points, 1e8)
+        full = jnp.concatenate([points[:, 1:4], feats], axis=-1)
+        coords, vfeat, vvalid, inverse = grid_utils.dynamic_voxelize(
+            pts, full, self.voxel_size, pc_min, self.voxel_cap
+        )
+        batch_dict["voxel_features"] = jnp.where(vvalid[:, None], vfeat, 0.0)
+        batch_dict["voxel_coords"] = jnp.where(vvalid[:, None], coords, -1)
+        batch_dict["voxel_valid"] = vvalid
+        batch_dict["point_voxel_inverse"] = inverse
+        return batch_dict
+
+    def get_output_feature_dim(self, input_dim):
+        return input_dim + 3
+
+
+class MeanVFE(nn.Module):
+    """Mean over a pre-voxelized [V, P, C] tensor (reference mean_vfe.py)."""
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        vox = batch_dict["voxels"]  # [V, P, C]
+        num = batch_dict["voxel_num_points"]  # [V]
+        s = jnp.sum(vox, axis=1)
+        batch_dict["voxel_features"] = s / jnp.maximum(num[:, None], 1.0)
+        return batch_dict
+
+
+class DynPillarVFE(nn.Module):
+    """Dynamic pillar VFE: per-point PFN MLP (linear+BN+ReLU) followed by
+    per-pillar max, with cluster-center and pillar-center offsets appended
+    (reference pillar_vfe.py / dynamic_pillar_vfe.py).
+
+    Output: pillar table on a 2D grid (z collapsed)."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    pillar_cap: int
+    num_filters: Sequence[int] = (64,)
+    use_absolute_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        points = batch_dict["point_bxyz"]
+        feats = batch_dict["point_feat"]
+        n = points.shape[0]
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        pc_min = jnp.asarray(self.point_cloud_range[:3], points.dtype)
+        pc_max = jnp.asarray(self.point_cloud_range[3:], points.dtype)
+        vs = jnp.asarray(self.voxel_size, points.dtype)
+        inside = jnp.all((points[:, 1:4] >= pc_min) & (points[:, 1:4] < pc_max), axis=-1)
+        valid = valid & inside
+
+        b = jnp.round(points[:, 0]).astype(jnp.int32)
+        cxy = jnp.floor((points[:, 1:3] - pc_min[:2]) / vs[:2]).astype(jnp.int32)
+        coords = jnp.concatenate([b[:, None], cxy], axis=1)
+        coords = jnp.where(valid[:, None], coords, jnp.int32(2 ** 24))
+        inverse, _, _ = grid_utils.unique_rows(coords)
+        cap = self.pillar_cap
+        inv_safe = jnp.where(valid, inverse, cap)
+
+        # cluster center offset
+        mean_xyz = segment_ops.segment_mean(points[:, 1:4], inv_safe, cap + 1)[:cap]
+        f_cluster = points[:, 1:4] - mean_xyz[jnp.clip(inverse, 0, cap - 1)]
+        # pillar center offset
+        pillar_center = (cxy.astype(points.dtype) + 0.5) * vs[:2] + pc_min[:2]
+        f_center = points[:, 1:3] - pillar_center
+
+        parts = [points[:, 1:4] if self.use_absolute_xyz else points[:, 3:4], feats, f_cluster, f_center]
+        x = jnp.concatenate(parts, axis=-1)
+        for nf in self.num_filters:
+            x = nn.Dense(nf, use_bias=False)(x)
+            x = MaskedBatchNorm()(x, valid, train)
+            x = nn.relu(x)
+        x = jnp.where(valid[:, None], x, -jnp.inf)
+        pooled = segment_ops.segment_max_or(x, inv_safe, cap + 1, 0.0)[:cap]
+
+        cnt = segment_ops.segment_count(inv_safe, cap + 1)[:cap]
+        pvalid = cnt > 0.5
+        pcoords = segment_ops.segment_min_or(coords, inv_safe, cap + 1, 0)[:cap]
+        # spconv-style (b, z=0, y, x)
+        vc = jnp.stack(
+            [pcoords[:, 0], jnp.zeros_like(pcoords[:, 0]), pcoords[:, 2], pcoords[:, 1]], axis=1
+        )
+        batch_dict["pillar_features"] = jnp.where(pvalid[:, None], pooled, 0.0)
+        batch_dict["voxel_features"] = batch_dict["pillar_features"]
+        batch_dict["voxel_coords"] = jnp.where(pvalid[:, None], vc, -1)
+        batch_dict["voxel_valid"] = pvalid
+        return batch_dict
+
+
+VFES = {
+    "MeanVFE": MeanVFE,
+    "DynamicMeanVFE": DynamicMeanVFE,
+    "DynPillarVFE": DynPillarVFE,
+    "DynamicPillarVFE": DynPillarVFE,
+}

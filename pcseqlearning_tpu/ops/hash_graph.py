@@ -1,0 +1,254 @@
+"""Spatio-temporal fixed-radius neighbor search — the torch_hash replacement.
+
+This is the single most load-bearing kernel of the extraction pipeline: the
+reference implements it as a GPU open-addressing hash table with linear
+probing and insertion-sorted K-nearest semantics
+(/root/reference/pcdet/ops/torch_hash/src/torch_hash_kernel.cu:224-420,
+wrapped by RadiusGraph at pcdet/models/model_utils/graph_utils.py:131-212).
+
+TPU-native design (no atomics, no data-dependent probing):
+  1. Bin reference points into cells of edge ``radius`` (spatial) keyed also
+     on the integer frame id, hash the 4D cell with a spatial hash, and SORT
+     points by hash (XLA radix sort) — equal-hash runs are contiguous.
+  2. For each query and each of the 27 spatial neighbor cells, binary-search
+     (searchsorted) the sorted hash array and scan up to ``cell_cap``
+     candidates with masked gathers.
+  3. Maintain the K nearest via a running top-k merge over the 27 offsets.
+
+Differences vs the reference (all benign):
+  * hash collisions can only ADD candidates; the exact distance test filters
+    them (a colliding far-away cell can never pass ``d2 <= r^2``).
+  * cells holding more than ``cell_cap`` points are truncated (the reference
+    scans all); raise ``cell_cap`` for parity-critical runs.
+  * the reference's per-dim temporal query window (qmin/qmax on the frame
+    dim, graph_utils.py:143-146) is expressed by shifting the query's frame
+    coordinate by the traced frame offset before calling: cross-frame
+    registration queries then hit the target frame's cells with a purely
+    spatial radius — mathematically identical to the reference's
+    ``sqrt(r^2 + off^2)`` 4D-radius trick (registration_utils.py:111-112).
+
+All shapes are static; padded (invalid) rows are supported via masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_H0 = jnp.uint32(2654435761)
+_H1 = jnp.uint32(73856093)
+_H2 = jnp.uint32(19349663)
+_H3 = jnp.uint32(83492791)
+
+
+def _hash_cells(cells):
+    """Spatial hash of int32 cell coords [N, 4] -> uint32 [N]."""
+    c = cells.astype(jnp.uint32)
+    h = c[:, 0] * _H0 ^ c[:, 1] * _H1 ^ c[:, 2] * _H2 ^ c[:, 3] * _H3
+    # avoid the reserved sentinel by mapping 0xFFFFFFFF -> 0xFFFFFFFE
+    return jnp.where(h == jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFE), h)
+
+
+_INVALID_HASH = jnp.uint32(0xFFFFFFFF)
+
+
+class HashGrid(NamedTuple):
+    """Sorted spatial-hash table over reference points."""
+
+    sorted_hash: jnp.ndarray  # [N] uint32, ascending
+    sorted_idx: jnp.ndarray  # [N] int32, original row of each slot
+    ref_fxyz: jnp.ndarray  # [N, 4] original (frame, x, y, z)
+    ref_valid: jnp.ndarray  # [N] bool
+    origin: jnp.ndarray  # [3] spatial binning origin
+    cell: jnp.ndarray  # [] spatial cell edge length
+
+
+def _cells_of(fxyz, origin, cell):
+    f = jnp.round(fxyz[:, 0]).astype(jnp.int32)
+    cxyz = jnp.floor((fxyz[:, 1:4] - origin) / cell).astype(jnp.int32)
+    return jnp.concatenate([f[:, None], cxyz], axis=1)
+
+
+def build_hash_grid(ref_fxyz, cell_size, ref_valid=None):
+    """Bin+sort reference points (replaces hash_insert_gpu).
+
+    Args:
+        ref_fxyz: [N, 4] (frame, x, y, z); frame may be any batch-like id.
+        cell_size: traced or static scalar — spatial cell edge (use the query
+            radius for radius graphs).
+        ref_valid: [N] bool mask for padded rows.
+    """
+    n = ref_fxyz.shape[0]
+    if ref_valid is None:
+        ref_valid = jnp.ones(n, dtype=bool)
+    cell = jnp.asarray(cell_size, dtype=ref_fxyz.dtype)
+    # stable origin: min over valid points
+    big = jnp.asarray(3e38, dtype=ref_fxyz.dtype)
+    masked = jnp.where(ref_valid[:, None], ref_fxyz[:, 1:4], big)
+    origin = jnp.min(masked, axis=0)
+    cells = _cells_of(ref_fxyz, origin, cell)
+    h = jnp.where(ref_valid, _hash_cells(cells), _INVALID_HASH)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_hash, sorted_idx = jax.lax.sort((h, idx), num_keys=1)
+    return HashGrid(sorted_hash, sorted_idx, ref_fxyz, ref_valid, origin, cell)
+
+
+# the 27 spatial offsets, frame offset always 0 (exact frame match)
+_OFFSETS = jnp.array(
+    [[0, dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=jnp.int32,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cell_cap"))
+def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, cell_cap=48):
+    """K nearest neighbors within ``radius``, same-frame, sorted by distance.
+
+    Semantics match radius_graph_gpu with SORT_BY_DIST=True
+    (torch_hash_kernel.cu:290-420): per query, the up-to-K nearest reference
+    points with 4D distance <= radius (frame coordinate distance is zero here
+    because frames match exactly; see module docstring for the cross-frame
+    contract).
+
+    Returns:
+        ref_idx [M, K] int32 — neighbor row in ref array (-1 where none)
+        dist2   [M, K] f32   — squared spatial distance (+inf where none)
+        mask    [M, K] bool
+    """
+    m = query_fxyz.shape[0]
+    n = grid.sorted_hash.shape[0]
+    if query_valid is None:
+        query_valid = jnp.ones(m, dtype=bool)
+    radius = jnp.asarray(radius, dtype=query_fxyz.dtype)
+    r2 = radius * radius
+
+    qcells = _cells_of(query_fxyz, grid.origin, grid.cell)
+    qpos = query_fxyz  # distance over all 4 dims; frame diff is 0 in-frame
+
+    big = jnp.asarray(jnp.inf, dtype=query_fxyz.dtype)
+    best_d = jnp.full((m, k), big, dtype=query_fxyz.dtype)
+    best_i = jnp.full((m, k), -1, dtype=jnp.int32)
+
+    ref_pos = grid.ref_fxyz
+
+    def body(o, carry):
+        best_d, best_i = carry
+        off = _OFFSETS[o]
+        h_q = _hash_cells(qcells + off[None, :])
+        start = jnp.searchsorted(grid.sorted_hash, h_q, side="left").astype(jnp.int32)
+        slots = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]  # [M, cap]
+        in_range = slots < n
+        slots_c = jnp.minimum(slots, n - 1)
+        cand_h = grid.sorted_hash[slots_c]
+        valid = in_range & (cand_h == h_q[:, None])
+        cand_ref = grid.sorted_idx[slots_c]  # [M, cap]
+        cand_valid_ref = grid.ref_valid[cand_ref]
+        diff = ref_pos[cand_ref] - qpos[:, None, :]  # [M, cap, 4]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        valid = valid & cand_valid_ref & (d2 <= r2)
+        d2 = jnp.where(valid, d2, big)
+        cand_ref = jnp.where(valid, cand_ref, -1)
+
+        merged_d = jnp.concatenate([best_d, d2], axis=1)  # [M, K+cap]
+        merged_i = jnp.concatenate([best_i, cand_ref], axis=1)
+        neg_top, top_pos = jax.lax.top_k(-merged_d, k)
+        best_d = -neg_top
+        best_i = jnp.take_along_axis(merged_i, top_pos, axis=1)
+        return best_d, best_i
+
+    best_d, best_i = jax.lax.fori_loop(0, _OFFSETS.shape[0], body, (best_d, best_i))
+    mask = jnp.isfinite(best_d) & query_valid[:, None]
+    best_i = jnp.where(mask, best_i, -1)
+    best_d = jnp.where(mask, best_d, big)
+    return best_i, best_d, mask
+
+
+def radius_graph(ref_fxyz, query_fxyz, radius, k, ref_valid=None, query_valid=None, cell_cap=48):
+    """Convenience: build grid + query in one call.
+
+    Equivalent of RadiusGraph.build_graph (graph_utils.py:149-209) returning
+    dense [M, K] neighbor tables instead of a ragged edge list. Use
+    :func:`edges_from_neighbors` to flatten to (e_ref, e_query) pairs.
+    """
+    grid = build_hash_grid(ref_fxyz, radius, ref_valid)
+    return radius_neighbors(grid, query_fxyz, radius, k, query_valid, cell_cap)
+
+
+def edges_from_neighbors(ref_idx, mask):
+    """Flatten [M, K] neighbor tables into padded edge lists.
+
+    Returns (e_ref [M*K], e_query [M*K], e_mask [M*K]); padded entries have
+    e_ref == -1. Downstream segment ops drop negative indices natively.
+    """
+    m, k = ref_idx.shape
+    e_query = jnp.repeat(jnp.arange(m, dtype=jnp.int32), k)
+    e_ref = ref_idx.reshape(-1)
+    e_mask = mask.reshape(-1)
+    return e_ref, e_query, e_mask
+
+
+def points_in_radius(grid: HashGrid, query_fxyz, radius, query_valid=None, cell_cap=48):
+    """Mark reference points that have at least one query within ``radius``
+    (replaces points_in_radius_gpu, torch_hash_api.cpp:13).
+
+    Returns [N] bool over the grid's reference rows.
+    """
+    ref_idx, _, mask = radius_neighbors(grid, query_fxyz, radius, k=cell_cap, query_valid=query_valid, cell_cap=cell_cap)
+    n = grid.ref_fxyz.shape[0]
+    flat_idx = jnp.where(mask, ref_idx, n).reshape(-1)
+    hit = jnp.zeros(n + 1, dtype=bool).at[flat_idx].set(True)
+    return hit[:n]
+
+
+# ---------------------------------------------------------------------------
+# Exact integer-coordinate lookup (replaces `correspondence`,
+# torch_hash_api.cpp:11 — used for sparse-conv rulebooks and voxel matching).
+# ---------------------------------------------------------------------------
+
+
+class CoordTable(NamedTuple):
+    sorted_hash: jnp.ndarray  # [N] uint32
+    sorted_idx: jnp.ndarray  # [N] int32
+    coords: jnp.ndarray  # [N, 4] int32 original coords
+    valid: jnp.ndarray  # [N] bool
+
+
+def build_coord_table(coords, valid=None):
+    n = coords.shape[0]
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+    h = jnp.where(valid, _hash_cells(coords), _INVALID_HASH)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_hash, sorted_idx = jax.lax.sort((h, idx), num_keys=1)
+    return CoordTable(sorted_hash, sorted_idx, coords, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("probe_cap",))
+def coord_lookup(table: CoordTable, query_coords, query_valid=None, probe_cap=4):
+    """Row index of the reference row exactly matching each query coord
+    (or -1). Collisions are resolved by scanning up to ``probe_cap``
+    equal-hash slots and verifying all 4 integer coordinates.
+    """
+    m = query_coords.shape[0]
+    n = table.sorted_hash.shape[0]
+    if query_valid is None:
+        query_valid = jnp.ones(m, dtype=bool)
+    h_q = _hash_cells(query_coords)
+    start = jnp.searchsorted(table.sorted_hash, h_q, side="left").astype(jnp.int32)
+    slots = start[:, None] + jnp.arange(probe_cap, dtype=jnp.int32)[None, :]
+    in_range = slots < n
+    slots_c = jnp.minimum(slots, n - 1)
+    cand_h = table.sorted_hash[slots_c]
+    cand_idx = table.sorted_idx[slots_c]
+    same_hash = in_range & (cand_h == h_q[:, None])
+    cand_coords = table.coords[cand_idx]  # [M, P, 4]
+    exact = jnp.all(cand_coords == query_coords[:, None, :], axis=-1)
+    ok = same_hash & exact & table.valid[cand_idx] & query_valid[:, None]
+    # first match
+    any_ok = jnp.any(ok, axis=1)
+    first = jnp.argmax(ok, axis=1)
+    out = jnp.where(any_ok, jnp.take_along_axis(cand_idx, first[:, None], axis=1)[:, 0], -1)
+    return out.astype(jnp.int32)

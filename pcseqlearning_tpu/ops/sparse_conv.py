@@ -1,0 +1,295 @@
+"""Sparse 3D convolution as gather-GEMM-scatter over voxel coordinate tables.
+
+Replaces the vendored/external spconv 1.x engine
+(/root/reference/pcdet/ops/spconv/: get_indice_pairs / indice_conv /
+indice_maxpool, include/spconv/spconv_ops.h) that powers every voxel backbone
+(VoxelBackBone8x, UNetV2 — /root/reference/pcdet/models/backbones_3d/
+spconv_backbone.py, spconv_unet.py).
+
+TPU design:
+  * a sparse tensor is a fixed-capacity padded table (features [V, C],
+    coords [V, 4] int32 (b, z, y, x), valid [V]);
+  * the "rulebook" is a [K, V] neighbor-index matrix resolved through the
+    sorted-hash exact-match lookup (ops/hash_graph.build_coord_table /
+    coord_lookup) — no atomics, no dynamic allocation;
+  * the conv itself is a lax.scan over kernel offsets of
+    (masked gather -> [V, Cin] x [Cin, Cout] MXU matmul -> accumulate),
+    which is exactly the gather-GEMM-scatter schedule of spconv but with the
+    GEMM batched on the MXU and the scatter replaced by dense accumulation
+    (submanifold) or segment-sum (strided).
+
+Weight layout: [K, Cin, Cout] with K enumerating kernel offsets in
+itertools.product order over (dz, dy, dx).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import grid_utils, hash_graph, segment_ops
+
+
+class SparseTensor(NamedTuple):
+    features: jnp.ndarray  # [V, C] (invalid rows must be zero)
+    coords: jnp.ndarray  # [V, 4] int32 (b, z, y, x)
+    valid: jnp.ndarray  # [V] bool
+    spatial_shape: tuple  # static (D, H, W)
+    batch_size: int  # static
+
+
+def kernel_offsets(kernel_size):
+    """[K, 3] int32 (dz, dy, dx) offsets in scan order."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * 3
+    offs = list(itertools.product(*[range(k) for k in kernel_size]))
+    return jnp.asarray(offs, dtype=jnp.int32)
+
+
+def _mask_features(feats, valid):
+    return jnp.where(valid[:, None], feats, 0.0)
+
+
+def subm_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, precision=None):
+    """Submanifold sparse conv: output coords == input coords
+    (spconv SubMConv3d; reference ops/spconv/conv.py:113 + ops.py:109).
+
+    weights: [K, Cin, Cout].
+    """
+    offs = kernel_offsets(kernel_size)
+    k = offs.shape[0]
+    if isinstance(kernel_size, int):
+        ks = (kernel_size,) * 3
+    else:
+        ks = tuple(kernel_size)
+    center = jnp.asarray([(s - 1) // 2 for s in ks], dtype=jnp.int32)
+
+    table = hash_graph.build_coord_table(st.coords, st.valid)
+    feats = _mask_features(st.features, st.valid)
+    v = feats.shape[0]
+
+    def gather_idx(o):
+        # input voxel contributing through kernel offset o sits at
+        # out_coord + (o - center) (stride 1, submanifold)
+        delta = offs[o] - center
+        q = st.coords.at[:, 1:4].add(delta[None, :])
+        return hash_graph.coord_lookup(table, q, st.valid)
+
+    idx_all = jax.vmap(gather_idx)(jnp.arange(k))  # [K, V]
+
+    def body(carry, inp):
+        idx, w = inp
+        ok = idx >= 0
+        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
+        carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
+        return carry, None
+
+    out0 = jnp.zeros((v, weights.shape[-1]), feats.dtype)
+    out, _ = jax.lax.scan(body, out0, (idx_all, weights))
+    if bias is not None:
+        out = out + bias[None, :]
+    out = _mask_features(out, st.valid)
+    return SparseTensor(out, st.coords, st.valid, st.spatial_shape, st.batch_size)
+
+
+def _downsample_coords(st: SparseTensor, kernel_size, stride, padding, out_cap):
+    """Active output coordinates of a strided sparse conv: every out position
+    whose receptive field touches an input (spconv get_indice_pairs
+    semantics, ops/spconv/ops.py:46)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * 3
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = (padding,) * 3
+    offs = kernel_offsets(kernel_size)  # [K, 3]
+    k = offs.shape[0]
+    stride_a = jnp.asarray(stride, dtype=jnp.int32)
+    pad_a = jnp.asarray(padding, dtype=jnp.int32)
+    out_shape = tuple(
+        (st.spatial_shape[i] + 2 * padding[i] - kernel_size[i]) // stride[i] + 1
+        for i in range(3)
+    )
+
+    # candidate out coords: (in + pad - off) / stride where divisible
+    zyx = st.coords[:, 1:4][None, :, :] + pad_a[None, None, :] - offs[:, None, :]  # [K, V, 3]
+    div_ok = jnp.all(zyx % stride_a[None, None, :] == 0, axis=-1)
+    op = zyx // stride_a[None, None, :]
+    in_bounds = jnp.all(
+        (op >= 0) & (op < jnp.asarray(out_shape, dtype=jnp.int32)[None, None, :]), axis=-1
+    )
+    ok = div_ok & in_bounds & st.valid[None, :]
+    b = jnp.broadcast_to(st.coords[:, 0][None, :], ok.shape)
+    cand = jnp.concatenate([b[..., None], op], axis=-1).reshape(k * ok.shape[1], 4)
+    ok_flat = ok.reshape(-1)
+    # route invalid candidates to a sentinel so unique treats them as one row
+    cand = jnp.where(ok_flat[:, None], cand, jnp.int32(2 ** 24))
+    inverse, _, _ = grid_utils.unique_rows(cand)
+    # representative (min flat index) per group, then take first out_cap rows
+    # ordered by coordinate via segment_min of candidate rows
+    n_groups = cand.shape[0]
+    rep_coord = segment_ops.segment_min_or(cand, inverse, n_groups, jnp.int32(2 ** 24))
+    occupied = rep_coord[:, 0] < jnp.int32(2 ** 24)
+    # compact to out_cap: groups are in lexicographic coord order already.
+    # fill rows (beyond the occupied count) must be invalid, so derive the
+    # mask from the count rather than from occupied[take].
+    take = jnp.nonzero(occupied, size=out_cap, fill_value=n_groups - 1)[0]
+    count = jnp.sum(occupied.astype(jnp.int32))
+    out_valid = jnp.arange(out_cap, dtype=jnp.int32) < jnp.minimum(count, out_cap)
+    out_coords = jnp.where(out_valid[:, None], rep_coord[take], -1)
+    return out_coords, out_valid, out_shape
+
+
+def sparse_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, stride=2, padding=1, out_cap=None, precision=None):
+    """Strided sparse conv (spconv SparseConv3d): grows/downsamples the
+    active set; out_cap bounds the output table (default: input capacity)."""
+    if isinstance(kernel_size, int):
+        ks = (kernel_size,) * 3
+    else:
+        ks = tuple(kernel_size)
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = (padding,) * 3
+    v = st.features.shape[0]
+    out_cap = out_cap or v
+    out_coords, out_valid, out_shape = _downsample_coords(st, ks, stride, padding, out_cap)
+
+    offs = kernel_offsets(ks)
+    k = offs.shape[0]
+    stride_a = jnp.asarray(stride, dtype=jnp.int32)
+    pad_a = jnp.asarray(padding, dtype=jnp.int32)
+
+    table = hash_graph.build_coord_table(st.coords, st.valid)
+    feats = _mask_features(st.features, st.valid)
+
+    def gather_idx(o):
+        zyx = out_coords[:, 1:4] * stride_a[None, :] - pad_a[None, :] + offs[o][None, :]
+        q = jnp.concatenate([out_coords[:, 0:1], zyx], axis=1)
+        return hash_graph.coord_lookup(table, q, out_valid)
+
+    idx_all = jax.vmap(gather_idx)(jnp.arange(k))  # [K, V_out]
+
+    def body(carry, inp):
+        idx, w = inp
+        ok = idx >= 0
+        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
+        carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
+        return carry, None
+
+    out0 = jnp.zeros((out_cap, weights.shape[-1]), feats.dtype)
+    out, _ = jax.lax.scan(body, out0, (idx_all, weights))
+    if bias is not None:
+        out = out + bias[None, :]
+    out = _mask_features(out, out_valid)
+    return SparseTensor(out, out_coords, out_valid, out_shape, st.batch_size)
+
+
+def sparse_inverse_conv3d(st: SparseTensor, target: SparseTensor, weights, bias=None, kernel_size=3, stride=2, padding=1, precision=None):
+    """Inverse (transposed) sparse conv onto known target coords — the UNet
+    decoder path (spconv SparseInverseConv3d, spconv_unet.py). For each
+    target voxel, accumulates contributions from the coarse voxels whose
+    forward receptive field covers it."""
+    if isinstance(kernel_size, int):
+        ks = (kernel_size,) * 3
+    else:
+        ks = tuple(kernel_size)
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = (padding,) * 3
+    offs = kernel_offsets(ks)
+    k = offs.shape[0]
+    stride_a = jnp.asarray(stride, dtype=jnp.int32)
+    pad_a = jnp.asarray(padding, dtype=jnp.int32)
+
+    table = hash_graph.build_coord_table(st.coords, st.valid)
+    feats = _mask_features(st.features, st.valid)
+    v = feats.shape[0]
+    t_cap = target.features.shape[0]
+
+    def gather_idx(o):
+        # coarse voxel c contributes to fine voxel f through offset o when
+        # c * stride - pad + o == f  =>  c == (f + pad - o) / stride
+        zyx = target.coords[:, 1:4] + pad_a[None, :] - offs[o][None, :]
+        div_ok = jnp.all(zyx % stride_a[None, :] == 0, axis=-1)
+        c = zyx // stride_a[None, :]
+        q = jnp.concatenate([target.coords[:, 0:1], c], axis=1)
+        idx = hash_graph.coord_lookup(table, q, target.valid & div_ok)
+        return jnp.where(div_ok, idx, -1)
+
+    idx_all = jax.vmap(gather_idx)(jnp.arange(k))
+
+    def body(carry, inp):
+        idx, w = inp
+        ok = idx >= 0
+        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
+        carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
+        return carry, None
+
+    out0 = jnp.zeros((t_cap, weights.shape[-1]), feats.dtype)
+    out, _ = jax.lax.scan(body, out0, (idx_all, weights))
+    if bias is not None:
+        out = out + bias[None, :]
+    out = _mask_features(out, target.valid)
+    return SparseTensor(out, target.coords, target.valid, target.spatial_shape, target.batch_size)
+
+
+def sparse_maxpool3d(st: SparseTensor, kernel_size=3, stride=2, padding=1, out_cap=None):
+    """Sparse max pooling (spconv indice_maxpool, ops/spconv/ops.py:162)."""
+    if isinstance(kernel_size, int):
+        ks = (kernel_size,) * 3
+    else:
+        ks = tuple(kernel_size)
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(padding, int):
+        padding = (padding,) * 3
+    v = st.features.shape[0]
+    out_cap = out_cap or v
+    out_coords, out_valid, out_shape = _downsample_coords(st, ks, stride, padding, out_cap)
+
+    offs = kernel_offsets(ks)
+    k = offs.shape[0]
+    stride_a = jnp.asarray(stride, dtype=jnp.int32)
+    pad_a = jnp.asarray(padding, dtype=jnp.int32)
+    table = hash_graph.build_coord_table(st.coords, st.valid)
+    feats = _mask_features(st.features, st.valid)
+    neg = jnp.asarray(-jnp.inf, feats.dtype)
+
+    def gather_idx(o):
+        zyx = out_coords[:, 1:4] * stride_a[None, :] - pad_a[None, :] + offs[o][None, :]
+        q = jnp.concatenate([out_coords[:, 0:1], zyx], axis=1)
+        return hash_graph.coord_lookup(table, q, out_valid)
+
+    idx_all = jax.vmap(gather_idx)(jnp.arange(k))
+
+    def body(carry, idx):
+        ok = idx >= 0
+        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], neg)
+        return jnp.maximum(carry, g), None
+
+    out0 = jnp.full((out_cap, feats.shape[1]), neg, feats.dtype)
+    out, _ = jax.lax.scan(body, out0, idx_all)
+    out = jnp.where(jnp.isfinite(out), out, 0.0)
+    out = _mask_features(out, out_valid)
+    return SparseTensor(out, out_coords, out_valid, out_shape, st.batch_size)
+
+
+def to_dense(st: SparseTensor):
+    """Scatter the sparse table into a dense [B, D, H, W, C] tensor
+    (SparseConvTensor.dense(), used by HeightCompression)."""
+    D, H, W = st.spatial_shape
+    B = st.batch_size
+    C = st.features.shape[1]
+    flat = jnp.zeros((B * D * H * W, C), st.features.dtype)
+    b, z, y, x = st.coords[:, 0], st.coords[:, 1], st.coords[:, 2], st.coords[:, 3]
+    lin = ((b * D + z) * H + y) * W + x
+    lin = jnp.where(st.valid, lin, B * D * H * W)
+    flat = jnp.concatenate([flat, jnp.zeros((1, C), st.features.dtype)], axis=0)
+    flat = flat.at[lin].add(_mask_features(st.features, st.valid))
+    return flat[:-1].reshape(B, D, H, W, C)

@@ -1,0 +1,645 @@
+"""Cluster tracking: coarse-to-fine per-component ICP walks across frames.
+
+TPU-native rewrite of ClusterTracking
+(/root/reference/pcdet/models/registration/preprocessors/cluster_tracking.py):
+for every TRACK_INTERVAL-th frame, every proposed component is tracked
++-TRACK_INTERVAL frames in both directions through a 3-level voxel/radius
+pyramid of batched Procrustes ICP solves, with velocity estimation +
+temporal smoothing and per-component stopping rules. Member points are
+re-extracted from the full-resolution cloud via a nearest-neighbor graph and
+scored against GT boxes.
+
+Architecture: the frame walk and stopping logic live on host (tiny [C]-sized
+numpy arrays, mirrors the reference's checkpointing semantics); everything
+O(points) — grid sampling, neighbor search, ICP, velocity smoothing — is a
+jitted kernel over capacity-padded tables.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import boxes as box_ops
+from ..ops import grid_utils, hash_graph, segment_ops
+from ..utils.edict import EDict
+from ..utils.padding import bucket_size, pad_rows
+from .registration import register_to_next_frame
+
+
+# ---------------------------------------------------------------------------
+# jitted pieces
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _sample_frame_kernel(fxyz, comp, stationary, valid, voxel_size):
+    """Grid-subsample one frame: mean position, mean>0.5 stationary flag,
+    MEDIAN component id per voxel (reference sample_frame,
+    cluster_tracking.py:39-51)."""
+    n = fxyz.shape[0]
+    coords = grid_utils.voxel_coords(fxyz, voxel_size)
+    coords = jnp.where(valid[:, None], coords, jnp.int32(2 ** 24))
+    inverse, num_voxels, _ = grid_utils.unique_rows(coords)
+    mean_xyz = segment_ops.segment_mean(jnp.where(valid[:, None], fxyz, 0.0), inverse, n)
+    stat = segment_ops.segment_mean(
+        jnp.where(valid, stationary.astype(fxyz.dtype), 0.0), inverse, n
+    ) > 0.5
+    med_comp = segment_ops.segment_median(
+        jnp.where(valid, comp, jnp.int32(-1)), inverse, n
+    )
+    occupancy = segment_ops.segment_count(jnp.where(valid, inverse, n), n + 1)[:n]
+    vvalid = occupancy > 0.5
+    return mean_xyz, med_comp, stat, vvalid
+
+
+@functools.partial(jax.jit, static_argnames=("num_components",))
+def _component_stats(xyz, comp, valid, num_components):
+    """Per-component degree, center, diameter (reference
+    component_diameter/component_center, cluster_tracking.py:89-121)."""
+    C = num_components
+    cs = jnp.where(valid & (comp >= 0), comp, C)
+    deg = segment_ops.segment_count(cs, C + 1)[:C]
+    center = segment_ops.segment_mean(xyz, cs, C + 1)[:C]
+    d = jnp.linalg.norm(xyz - center[jnp.clip(cs, 0, C - 1)], axis=-1)
+    d = jnp.where(valid & (comp >= 0), d, -jnp.inf)
+    diam = segment_ops.segment_max_or(d, cs, C + 1, 0.0)[:C]
+    return deg, center, jnp.maximum(diam, 0.0) * 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _smooth_velo_kernel(velos, diffs, active, window, weight0=1.0, weight=10.0, num_itr=300, stopping=1e-3):
+    """Velocity smoothing: L2 fit to center diffs + L1 temporal smoothness,
+    AdamW-in-jit with MultiStep decay and early-stop countdown (reference
+    smooth_velo, cluster_tracking.py:162-199).
+
+    velos/diffs: [C, window, 3]; active: [window] bool (frames in the
+    optimized span). Only xy participates (reference [..., :2]).
+    """
+    import optax
+
+    def lr_fn(step):
+        mult = jnp.asarray(1.0)
+        for d in (100, 200, 300):
+            mult = mult * jnp.where(step >= d, 0.1, 1.0)
+        return 1e-2 * mult
+
+    opt = optax.adamw(learning_rate=lr_fn)
+    act = active.astype(velos.dtype)[None, :, None]
+    pair_act = (active[:-1] & active[1:]).astype(velos.dtype)[None, :, None]
+    n_act = jnp.maximum(jnp.sum(act) * 2.0, 1.0) * velos.shape[0]
+    n_pair = jnp.maximum(jnp.sum(pair_act) * 2.0, 1.0) * velos.shape[0]
+
+    def loss_fn(v):
+        fit = jnp.sum(((v - diffs)[..., :2] * act) ** 2) / n_act
+        smooth = jnp.sum(jnp.abs((v[:, :-1, :2] - v[:, 1:, :2]) * pair_act)) / n_pair
+        return fit * weight0 + smooth * weight
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def cond(s):
+        v, o, it, last, cd = s
+        return (cd > 0) & (it < num_itr)
+
+    def body(s):
+        v, o, it, last, cd = s
+        loss, g = grad_fn(v)
+        upd, o = opt.update(g, o, v)
+        v = optax.apply_updates(v, upd)
+        cd = jnp.where(last - loss < stopping, cd - 1, 3)
+        return v, o, it + 1, loss, cd
+
+    v0 = velos
+    state = (v0, opt.init(v0), 0, jnp.asarray(1e10, velos.dtype), 3)
+    v, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    # frames outside the active span keep their original values
+    return jnp.where(active[None, :, None], v, velos)
+
+
+@functools.partial(jax.jit, static_argnames=("cell_cap",))
+def _nn_match(ref_xyz, ref_valid, query_xyz, query_valid, radius, cell_cap=48):
+    """Nearest ref point within radius for each query (k=1 NN_GRAPH)."""
+    nr = ref_xyz.shape[0]
+    nq = query_xyz.shape[0]
+    ref_f = jnp.concatenate([jnp.zeros((nr, 1), ref_xyz.dtype), ref_xyz], axis=1)
+    q_f = jnp.concatenate([jnp.zeros((nq, 1), query_xyz.dtype), query_xyz], axis=1)
+    grid = hash_graph.build_hash_grid(ref_f, radius, ref_valid)
+    idx, d2, mask = hash_graph.radius_neighbors(grid, q_f, radius, 1, query_valid=query_valid, cell_cap=cell_cap)
+    return idx[:, 0], mask[:, 0]
+
+
+def dist_compensate(comp_deg):
+    """Registration-error slack for small components (reference
+    cluster_tracking.py:80-87)."""
+    thresholds = [0, 10, 40, 100, 200, 400, 10 ** 7]
+    comp_dist = [1.0, 0.5, 0.3, 0.2, 0.1, 0.0]
+    out = np.zeros_like(comp_deg, dtype=np.float32)
+    for i in range(1, len(thresholds)):
+        m = (comp_deg >= thresholds[i - 1]) & (comp_deg < thresholds[i])
+        out[m] = comp_dist[i - 1]
+    return out
+
+
+class ClusterTracking:
+    def __init__(self, model_cfg, runtime_cfg=None):
+        self.model_cfg = EDict(model_cfg)
+        reg_cfg = self.model_cfg["REGISTRATION"]
+        self.stopping_delta = [float(s) for s in reg_cfg["STOPPING_DELTA"]]
+        self.radius_list = [float(r) for r in reg_cfg["GRAPH"]["RADIUS"]]
+        self.voxel_size_list = [list(map(float, v)) for v in reg_cfg["VOXEL_SIZE"]]
+        self.angle_regularizer = float(self.model_cfg.get("ANGLE_REGULARIZER", 10))
+        nn_cfg = self.model_cfg["NN_GRAPH"]
+        self.nn_radius = float(nn_cfg["RADIUS"])
+
+        params = self.model_cfg.get("TRACKING_PARAMS", {})
+        self.reg_error_coeff = float(params.get("REGISTRATION_ERROR_COEFFICIENT", 0.13))
+        self.track_interval = int(params.get("TRACK_INTERVAL", 10))
+        self.angle_threshold = float(params.get("ANGLE_THRESHOLD", 45))
+        self.min_move_frame = int(params.get("MIN_MOVE_FRAME", 6))
+        self.component_keys = list(self.model_cfg["COMPONENT_KEYS"])
+        self.max_icp_iter = int(self.model_cfg.get("MAX_ICP_ITER", 80))
+
+    # ------------------------------------------------------------------
+    def _sample_frame(self, frame, voxel_size):
+        """Host wrapper: pad, run kernel, compact. ``frame``: EDict with
+        xyz [n,3], component [n], stationary [n]."""
+        n = frame.xyz.shape[0]
+        cap = bucket_size(n)
+        fxyz = np.concatenate([np.zeros((n, 1), np.float32), frame.xyz.astype(np.float32)], axis=1)
+        fxyz_p, valid = pad_rows(fxyz, cap, fill=1e8)
+        comp_p, _ = pad_rows(frame.component.astype(np.int32), cap, fill=-1)
+        stat_p, _ = pad_rows(frame.stationary.astype(np.float32), cap)
+        mean_xyz, med_comp, stat, vvalid = _sample_frame_kernel(
+            jnp.asarray(fxyz_p), jnp.asarray(comp_p), jnp.asarray(stat_p), jnp.asarray(valid),
+            jnp.asarray(voxel_size, dtype=jnp.float32),
+        )
+        vvalid = np.asarray(vvalid)
+        return EDict(
+            xyz=np.asarray(mean_xyz)[vvalid][:, 1:4],
+            component=np.asarray(med_comp)[vvalid],
+            stationary=np.asarray(stat)[vvalid],
+        )
+
+    def _register_level(self, moving, ref, num_components, level):
+        """One pyramid level: grid-sample both sides, run jitted ICP."""
+        sub_m = self._sample_frame(moving, self.voxel_size_list[level])
+        sub_r = self._sample_frame(ref, self.voxel_size_list[level])
+        # exclude stationary points on both sides (reference filters
+        # non-stationary before registration, registration_utils.py:120-121)
+        m_keep = ~sub_m.stationary & (sub_m.component >= 0)
+        r_keep = ~sub_r.stationary
+        mx = sub_m.xyz[m_keep]
+        mc = sub_m.component[m_keep]
+        rx = sub_r.xyz[r_keep]
+        cap_m = bucket_size(max(len(mx), 1))
+        cap_r = bucket_size(max(len(rx), 1))
+        mx_p, m_valid = pad_rows(mx.astype(np.float32), cap_m, fill=1e8)
+        mc_p, _ = pad_rows(mc.astype(np.int32), cap_m, fill=-1)
+        rx_p, r_valid = pad_rows(rx.astype(np.float32), cap_r, fill=1e8)
+        C = bucket_size(num_components, base=64)
+        T, l1, ratio, _ = register_to_next_frame(
+            jnp.asarray(mx_p), jnp.asarray(mc_p), jnp.asarray(m_valid),
+            jnp.asarray(rx_p), jnp.asarray(r_valid), C,
+            jnp.asarray(self.radius_list[level], jnp.float32),
+            angle_regularizer=jnp.asarray(self.angle_regularizer, jnp.float32),
+            max_iter=self.max_icp_iter,
+            stopping_delta=jnp.asarray(self.stopping_delta[level], jnp.float32),
+        )
+        return (
+            np.asarray(T)[:num_components],
+            np.asarray(l1)[:num_components],
+            np.asarray(ratio)[:num_components],
+        )
+
+    # ------------------------------------------------------------------
+    def track_frame(self, seq_points, frame, seq_boxes):
+        """Track the components of one frame across +-track_interval frames
+        (reference track_frame, cluster_tracking.py:430-787)."""
+        num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
+        if num_components == 0:
+            return None
+        frame_id = int(frame.frame[0])
+        frames_arr = seq_points.frame
+        min_frame_id = max(int(frames_arr.min()), frame_id - self.track_interval)
+        max_frame_id = min(int(frames_arr.max()), frame_id + self.track_interval)
+        W = max_frame_id - min_frame_id + 1
+
+        deg, center0, comp_diameter = map(
+            np.asarray,
+            _component_stats(
+                jnp.asarray(frame.xyz.astype(np.float32)),
+                jnp.asarray(frame.component.astype(np.int32)),
+                jnp.ones(len(frame.component), bool),
+                bucket_size(num_components, base=64),
+            ),
+        )
+        deg = deg[:num_components]
+        comp_diameter = comp_diameter[:num_components]
+        comp_deg = deg
+
+        transforms = np.tile(np.eye(4, dtype=np.float64), (num_components, W, 1, 1))
+        F = max_frame_id + 1
+        reg_errors = np.zeros((num_components, F), np.float32)
+        comp_edge_ratios = np.zeros((num_components, F), np.float32)
+        comp_min_frame_id = np.full(num_components, frame_id)
+        comp_max_frame_id = np.full(num_components, frame_id)
+        comp_velos = np.zeros((num_components, F, 3), np.float32)
+        comp_centers = np.zeros((num_components, F, 3), np.float32)
+        comp_centers[:, frame_id] = np.asarray(center0)[:num_components]
+        comp_center_diffs = np.zeros((num_components, F, 3), np.float32)
+
+        # filter out huge / empty components (reference filter_components)
+        valid_comp_mask = (deg > 0.5) & (comp_diameter < 12.5)
+        valid_point_mask = valid_comp_mask[frame.component]
+
+        ex_xyzf = [np.concatenate([np.full((valid_point_mask.sum(), 1), frame_id, np.float32), frame.xyz[valid_point_mask]], axis=1)]
+        ex_component = [frame.component[valid_point_mask]]
+        ex_seglabel = [frame.segmentation_label[valid_point_mask]]
+        ex_orig_idx = [frame.original_indices[valid_point_mask]]
+
+        moving_total = np.ones(num_components, bool)
+
+        for track_dir in (-1, 1):
+            next_frame_id = frame_id + track_dir
+            stopped = ~valid_comp_mask.copy()
+            moving = valid_comp_mask.copy()
+            cur = EDict(
+                xyz=frame.xyz.copy(),
+                component=frame.component,
+                stationary=frame.stationary.copy(),
+                segmentation_label=frame.segmentation_label,
+            )
+            last_xyz = cur.xyz.copy()
+            last_velo = None
+            if track_dir == 1 and frame_id > 0:
+                last_velo = comp_velos[:, frame_id].copy()
+
+            while min_frame_id <= next_frame_id <= max_frame_id and (~stopped).any():
+                nm = frames_arr == next_frame_id
+                if not nm.any():
+                    break
+                nxt = EDict(
+                    xyz=seq_points.xyz[nm],
+                    component=seq_points.component[nm],
+                    stationary=seq_points.stationary[nm],
+                    segmentation_label=seq_points.segmentation_label[nm],
+                )
+                w = next_frame_id - min_frame_id
+                transforms[:, w] = transforms[:, w - track_dir]
+                if last_velo is not None:
+                    trans = last_velo.copy()
+                    trans[stopped] = 0
+                    cur.xyz = cur.xyz + trans[cur.component] * track_dir
+                    transforms[:, w, :3, 3] += trans.astype(np.float64) * track_dir
+
+                l1_reg_error = np.zeros(num_components, np.float32)
+                comp_edge_ratio = np.zeros(num_components, np.float32)
+                for lvl in range(len(self.radius_list)):
+                    T, l1, ratio, = self._register_level(cur, nxt, num_components, lvl)
+                    if lvl == 0:
+                        comp_edge_ratio = ratio
+                    if lvl == len(self.radius_list) - 1:
+                        l1_reg_error = l1
+                    R = T[:, :3, :3]
+                    t = T[:, :3, 3]
+                    cur.xyz = np.einsum("nij,nj->ni", R[cur.component], cur.xyz) + t[cur.component]
+                    transforms[:, w] = T.astype(np.float64) @ transforms[:, w]
+
+                # component centers (host numpy: tiny [C] arrays)
+                centers = np.zeros((num_components, 3), np.float32)
+                cnts = np.bincount(cur.component, minlength=num_components).astype(np.float32)
+                for d in range(3):
+                    centers[:, d] = np.bincount(cur.component, weights=cur.xyz[:, d], minlength=num_components)
+                centers[cnts > 0] /= cnts[cnts > 0, None]
+                comp_centers[:, next_frame_id] = centers
+
+                # velocity estimate + smoothing (reference 629-642)
+                point_velo = (cur.xyz - last_xyz) * track_dir
+                comp_velo = np.zeros((num_components, 3), np.float32)
+                for d in range(3):
+                    comp_velo[:, d] = np.bincount(cur.component, weights=point_velo[:, d], minlength=num_components)
+                comp_velo[cnts > 0] /= cnts[cnts > 0, None]
+                comp_velo[:, 2] = 0
+                comp_velos[:, next_frame_id] = comp_velo
+                comp_center_diffs[:, next_frame_id] = (
+                    comp_centers[:, next_frame_id] - comp_centers[:, next_frame_id - track_dir]
+                ) * track_dir
+
+                lo, hi = sorted((frame_id + track_dir, next_frame_id))
+                span = np.zeros(F, bool)
+                span[lo : hi + 1] = True
+                # pad to static window (full F window; W static per track call)
+                sm = _smooth_velo_kernel(
+                    jnp.asarray(comp_velos), jnp.asarray(comp_center_diffs), jnp.asarray(span), F
+                )
+                comp_velos = np.asarray(sm)
+                delta_velo = comp_velos[:, next_frame_id] - comp_velo
+                comp_velo = comp_velos[:, next_frame_id]
+                cur.xyz = cur.xyz + delta_velo[cur.component] * track_dir
+                transforms[:, w, :3, 3] += delta_velo.astype(np.float64) * track_dir
+                last_xyz = cur.xyz.copy()
+
+                # stopping rules (reference 675-708)
+                stopped = stopped | (
+                    l1_reg_error > self.reg_error_coeff * comp_diameter * (1 + dist_compensate(comp_deg))
+                )
+                stopped = stopped | (comp_edge_ratio < 0.5)
+                if (next_frame_id - frame_id) * track_dir == self.min_move_frame:
+                    moved = np.linalg.norm(comp_centers[:, next_frame_id] - comp_centers[:, frame_id], axis=-1)
+                    moving = moving & (moved > 0.08 * comp_diameter)
+                if last_velo is not None:
+                    dev = np.linalg.norm(comp_velo - last_velo, axis=-1)
+                    stopped = stopped | (dev > 0.24 * comp_diameter)
+                    prev = comp_velos[:, next_frame_id - track_dir]
+                    norm = np.maximum(np.linalg.norm(comp_velo, axis=-1) * np.linalg.norm(prev, axis=-1), 1e-6)
+                    ang = np.degrees(np.arccos(np.clip((comp_velo * prev).sum(-1) / norm, -1, 1)))
+                    stopped = stopped | (
+                        (ang > self.angle_threshold)
+                        & (np.linalg.norm(comp_velos[:, next_frame_id, :2], axis=-1) > 0.01)
+                    )
+
+                last_velo = comp_velo
+                if next_frame_id == frame_id - 1:
+                    comp_velos[:, frame_id] = comp_velo
+                if track_dir == -1:
+                    comp_min_frame_id[~stopped] = next_frame_id
+                else:
+                    comp_max_frame_id[~stopped] = next_frame_id
+
+                # extract member points of the target frame via NN (710-721)
+                cap_q = bucket_size(len(nxt.xyz))
+                cap_r = bucket_size(len(cur.xyz))
+                rx, r_valid = pad_rows(cur.xyz.astype(np.float32), cap_r, fill=1e8)
+                qx, q_valid = pad_rows(nxt.xyz.astype(np.float32), cap_q, fill=1e8)
+                nn_idx, nn_ok = _nn_match(
+                    jnp.asarray(rx), jnp.asarray(r_valid), jnp.asarray(qx), jnp.asarray(q_valid),
+                    jnp.asarray(self.nn_radius, jnp.float32),
+                )
+                nn_idx = np.asarray(nn_idx)[: len(nxt.xyz)]
+                nn_ok = np.asarray(nn_ok)[: len(nxt.xyz)]
+                src_comp = np.where(nn_ok, cur.component[np.clip(nn_idx, 0, len(cur.xyz) - 1)], -1)
+                keep = nn_ok & (src_comp >= 0) & ~stopped[np.clip(src_comp, 0, num_components - 1)]
+                ex_xyzf.append(
+                    np.concatenate(
+                        [np.full((keep.sum(), 1), next_frame_id, np.float32), nxt.xyz[keep]], axis=1
+                    )
+                )
+                ex_component.append(src_comp[keep])
+                ex_seglabel.append(nxt.segmentation_label[keep])
+                nxt_orig = np.nonzero(nm)[0]
+                ex_orig_idx.append(nxt_orig[keep])
+
+                reg_errors[:, next_frame_id] = l1_reg_error
+                comp_edge_ratios[:, next_frame_id] = comp_edge_ratio
+                next_frame_id += track_dir
+
+            moving_total = moving_total & moving
+
+        extracted = EDict(
+            fxyz=np.concatenate(ex_xyzf, axis=0),
+            component=np.concatenate(ex_component, axis=0),
+            segmentation_label=np.concatenate(ex_seglabel, axis=0),
+            original_indices=np.concatenate(ex_orig_idx, axis=0),
+        )
+        # final validity: tracked at least min_move_frame in one direction
+        valid_comp_mask = valid_comp_mask & (
+            (comp_max_frame_id >= frame_id + self.min_move_frame)
+            | (comp_min_frame_id <= frame_id - self.min_move_frame)
+        )
+        keep = valid_comp_mask[extracted.component]
+        for k in ["fxyz", "component", "segmentation_label", "original_indices"]:
+            extracted[k] = extracted[k][keep]
+        extracted.moving = moving_total[extracted.component] if len(extracted.component) else np.zeros(0, bool)
+        extracted.transforms = transforms
+        extracted.reg_errors = reg_errors
+        extracted.comp_edge_ratios = comp_edge_ratios
+        return extracted
+
+    # ------------------------------------------------------------------
+    def extract_traces_and_update_boxes(self, all_points, extracted, seq_boxes):
+        """Re-extract member points from the full-resolution cloud and update
+        per-box best IoU (reference extract_traces_and_update_boxes,
+        cluster_tracking.py:287-428)."""
+        num_components = int(extracted.component.max()) + 1 if len(extracted.component) else 0
+        if num_components == 0:
+            return extracted, seq_boxes
+        full = EDict(
+            fxyz=[], component=[], segmentation_label=[], original_indices=[], moving=[]
+        )
+        component_hit = np.zeros(num_components, np.int64)
+        ex_frames = np.round(extracted.fxyz[:, 0]).astype(int)
+
+        for fid in np.unique(ex_frames):
+            fb = seq_boxes.frame == fid
+            rm = all_points.frame == fid
+            ref_xyz = all_points.xyz[rm]
+            n_ref = len(ref_xyz)
+            if n_ref == 0:
+                continue
+            em = ex_frames == fid
+            ex_xyz = extracted.fxyz[em][:, 1:4]
+            ex_comp = extracted.component[em]
+            ex_mov = extracted.moving[em]
+
+            # NN from full-res points to extracted points, radius*sqrt(3)
+            cap_r = bucket_size(max(len(ex_xyz), 1))
+            cap_q = bucket_size(n_ref)
+            rx, rv = pad_rows(ex_xyz.astype(np.float32), cap_r, fill=1e8)
+            qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
+            nn_idx, nn_ok = _nn_match(
+                jnp.asarray(rx), jnp.asarray(rv), jnp.asarray(qx), jnp.asarray(qv),
+                jnp.asarray(self.nn_radius * 1.732, jnp.float32),
+            )
+            nn_idx = np.asarray(nn_idx)[:n_ref]
+            nn_ok = np.asarray(nn_ok)[:n_ref]
+
+            # component center/diameter in BEV for edge filtering (360-368)
+            cc = np.zeros((num_components, 2), np.float32)
+            cnt = np.bincount(ex_comp, minlength=num_components).astype(np.float32)
+            for d in range(2):
+                cc[:, d] = np.bincount(ex_comp, weights=ex_xyz[:, d], minlength=num_components)
+            cc[cnt > 0] /= cnt[cnt > 0, None]
+            rad = np.linalg.norm(ex_xyz[:, :2] - cc[ex_comp], axis=-1)
+            cd = np.zeros(num_components, np.float32)
+            np.maximum.at(cd, ex_comp, rad)
+
+            e_ext = np.clip(nn_idx, 0, max(len(ex_xyz) - 1, 0))
+            ok = nn_ok.copy()
+            if len(ex_xyz):
+                zdiff = ex_xyz[e_ext, 2] - ref_xyz[:, 2]
+                ok &= (zdiff < 0.5) & (zdiff > -0.05)
+                dist = np.linalg.norm(ref_xyz[:, :2] - cc[ex_comp[e_ext]], axis=-1)
+                ok &= dist < cd[ex_comp[e_ext]] + 0.05
+            else:
+                ok &= False
+
+            sel = np.nonzero(ok)[0]
+            comp_sel = ex_comp[e_ext[sel]]
+            fxyz_sel = np.concatenate(
+                [np.full((len(sel), 1), fid, np.float32), ref_xyz[sel]], axis=1
+            )
+            full.fxyz.append(fxyz_sel)
+            full.component.append(comp_sel)
+            full.segmentation_label.append(all_points.segmentation_label[rm][sel])
+            full.original_indices.append(np.nonzero(rm)[0][sel])
+            full.moving.append(ex_mov[e_ext[sel]])
+
+            # ----- box IoU update (382-414) -----
+            if fb.any() and len(sel):
+                fboxes = seq_boxes.attr[fb]
+                b_idx = np.nonzero(fb)[0]
+                cap_b = bucket_size(len(b_idx), base=32)
+                boxes_p, bvalid = pad_rows(fboxes.astype(np.float32), cap_b)
+                cap_p = bucket_size(n_ref)
+                pts_p, pvalid = pad_rows(ref_xyz.astype(np.float32), cap_p, fill=1e8)
+                bp = np.asarray(
+                    box_ops.points_in_boxes(jnp.asarray(pts_p), jnp.asarray(boxes_p))
+                )[: len(b_idx), :n_ref]
+                ref_gt = np.where(bp.any(0), bp.argmax(0), -1)
+                for c in np.unique(comp_sel):
+                    cm = comp_sel == c
+                    members = sel[cm]
+                    in_counts = bp[:, members].sum(1)
+                    if in_counts.max() == 0:
+                        continue
+                    abox = int(in_counts.argmax())
+                    m1 = ref_gt == abox
+                    mask = np.zeros(n_ref, bool)
+                    mask[members] = True
+                    iou = (mask & m1).sum() / ((mask | m1).sum() + 1e-6)
+                    if iou > 0.7:
+                        component_hit[c] += 1
+                    gi = b_idx[abox]
+                    if iou > seq_boxes.best_iou[gi]:
+                        seq_boxes.best_iou[gi] = iou
+
+        out = EDict(
+            fxyz=np.concatenate(full.fxyz, axis=0) if full.fxyz else np.zeros((0, 4), np.float32),
+            component=np.concatenate(full.component, axis=0) if full.component else np.zeros(0, np.int64),
+            segmentation_label=np.concatenate(full.segmentation_label, axis=0) if full.segmentation_label else np.zeros(0, np.int64),
+            original_indices=np.concatenate(full.original_indices, axis=0) if full.original_indices else np.zeros(0, np.int64),
+            moving=np.concatenate(full.moving, axis=0) if full.moving else np.zeros(0, bool),
+        )
+        out.component_hit = component_hit
+        out.transforms = extracted.transforms
+        return out, seq_boxes
+
+    # ------------------------------------------------------------------
+    def format_boxes(self, seq_dict):
+        return EDict(
+            attr=np.asarray(seq_dict["gt_box_attr"]).reshape(-1, 7),
+            cls_label=np.asarray(seq_dict["gt_box_cls_label"]).reshape(-1),
+            trace_id=np.asarray(seq_dict["gt_box_track_label"]).reshape(-1),
+            frame=np.asarray(seq_dict["gt_box_frame"]).reshape(-1),
+            velo=np.asarray(seq_dict["gt_box_velo"]).reshape(-1),
+            moving=np.asarray(seq_dict["moving"]).reshape(-1),
+        )
+
+    def __call__(self, seq_dict):
+        fxyz = np.asarray(seq_dict["point_fxyz"])
+        frame = np.asarray(seq_dict["point_sweep"]).reshape(-1).astype(int)
+        seq_points = EDict(
+            xyz=fxyz[:, 1:4].astype(np.float32),
+            frame=frame,
+            segmentation_label=np.asarray(
+                seq_dict.get("segmentation_label", np.zeros(len(frame), np.int64))
+            ).reshape(-1),
+        )
+        # full-resolution, above-ground points for trace extraction
+        if "full_point_fxyz" in seq_dict:
+            f_fxyz = np.asarray(seq_dict["full_point_fxyz"])
+            f_height = np.asarray(seq_dict["full_point_height"]).reshape(-1)
+            keep = f_height > 0.0
+            all_points = EDict(
+                xyz=f_fxyz[keep][:, 1:4].astype(np.float32),
+                frame=np.asarray(seq_dict["full_point_sweep"]).reshape(-1).astype(int)[keep],
+                segmentation_label=np.asarray(
+                    seq_dict.get(
+                        "full_segmentation_label", np.zeros(len(f_fxyz), np.int64)
+                    )
+                ).reshape(-1)[keep],
+            )
+        else:
+            all_points = seq_points
+
+        num_frames = int(frame.max()) + 1 if len(frame) else 0
+        sequence_id = str(seq_dict.get("frame_id", "seq"))[:-4] or "seq"
+        outfolder = os.path.join(self.model_cfg.DIR, sequence_id) if "DIR" in self.model_cfg else None
+        if outfolder:
+            outpath = os.path.join(outfolder, "all.pkl")
+            if os.path.exists(outpath):
+                print(f"{outpath} already exists. skipping...")
+                return seq_dict
+            os.makedirs(outfolder, exist_ok=True)
+
+        seq_boxes = self.format_boxes(seq_dict)
+        if seq_boxes.attr.shape[0] == 0:
+            return seq_dict
+        seq_boxes.best_iou = np.zeros(seq_boxes.attr.shape[0], np.float32)
+
+        for comp_key in self.component_keys:
+            component = np.asarray(seq_dict[f"point_{comp_key}"]).astype(np.int64)
+            # stationary = very large components (reference 860-861)
+            C_all = int(component.max()) + 1 if len(component) else 0
+            cc_diam = np.zeros(C_all, np.float32)
+            if C_all:
+                cnt = np.bincount(component, minlength=C_all).astype(np.float32)
+                ctr = np.zeros((C_all, 3), np.float32)
+                for d in range(3):
+                    ctr[:, d] = np.bincount(component, weights=seq_points.xyz[:, d], minlength=C_all)
+                ctr[cnt > 0] /= cnt[cnt > 0, None]
+                r = np.linalg.norm(seq_points.xyz - ctr[component], axis=-1)
+                np.maximum.at(cc_diam, component, r)
+                cc_diam *= 2
+            seq_points.component = component
+            seq_points.stationary = cc_diam[component] > 12.5 if C_all else np.zeros(len(frame), bool)
+
+            for frame_id in range(0, num_frames, self.track_interval):
+                fm = frame == frame_id
+                if not fm.any():
+                    continue
+                fr = EDict(
+                    xyz=seq_points.xyz[fm],
+                    frame=frame[fm],
+                    component=component[fm] - component[fm].min(),
+                    stationary=seq_points.stationary[fm],
+                    segmentation_label=seq_points.segmentation_label[fm],
+                    original_indices=np.nonzero(fm)[0],
+                )
+                extracted = self.track_frame(seq_points, fr, seq_boxes)
+                if extracted is None or len(extracted.fxyz) == 0:
+                    continue
+                extracted, seq_boxes = self.extract_traces_and_update_boxes(
+                    all_points, extracted, seq_boxes
+                )
+                if outfolder:
+                    with open(os.path.join(outfolder, f"{frame_id:03d}_{comp_key}.pkl"), "wb") as f:
+                        pickle.dump({k: v for k, v in extracted.items()}, f)
+
+                sb = (seq_boxes.frame >= frame_id - self.track_interval) & (
+                    seq_boxes.frame <= frame_id + self.track_interval
+                )
+                if sb.any():
+                    cov = float((seq_boxes.best_iou[sb] > 0.7).mean())
+                    print(
+                        f"segment [{frame_id - self.track_interval}, {frame_id + self.track_interval}]:"
+                        f" num_boxes={int(sb.sum())}, coverage={cov:.6f}"
+                    )
+
+        moving_miou = (
+            float(seq_boxes.best_iou[seq_boxes.moving.astype(bool)].mean())
+            if seq_boxes.moving.astype(bool).any()
+            else float("nan")
+        )
+        print(f"All Box mIoU={seq_boxes.best_iou.mean()}")
+        print(f"Moving Box mIoU={moving_miou}")
+        if outfolder:
+            with open(outpath, "wb") as f:
+                pickle.dump({k: v for k, v in seq_boxes.items()}, f)
+        seq_dict["seq_boxes"] = seq_boxes
+        return seq_dict

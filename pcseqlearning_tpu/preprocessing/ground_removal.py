@@ -1,0 +1,455 @@
+"""Ground plane estimation & removal — jit-compiled RANSAC + TLS + L1 solver.
+
+TPU-native rewrite of the reference solver
+(/root/reference/pcdet/models/registration/preprocessors/preprocessor_utils.py:32-419
+and ground_plane_remover.py:152-255):
+
+  1. 0.10x0.10x0.03 m grid subsample of the whole sequence (frame-agnostic)
+  2. 2D pillar stats (density / min_z / mean xyz) on a static pillar grid
+  3. RANSAC sweep over 30 height ratios, each running a 50-iter IRLS plane
+     fit per (4x-coarsened) pillar — `lax.fori_loop` over ratios, batched
+     eigh3x3 plane fits, best-plane tracking by inlier count
+  4. Truncated-Least-Squares outlier filter: kNN curvature thresholding over
+     a 100-step log-spaced schedule (masked, fixed capacity)
+  5. confidence-weighted plane propagation to all pillars — a single
+     [P, C] argmax instead of the reference's sequential center loop
+     (preprocessor_utils.py:216-225; order-independent because each update
+     keeps the max)
+  6. optional L1 joint optimization of the pillar height field with
+     2nd-order smoothness (optax AdamW inside `lax.while_loop`, early-stop
+     countdown) — reference l1_minimization (313-350)
+
+The pillar grid dims are computed on host once per sequence and passed as
+static ints (bucketed by the caller to bound recompiles).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry, grid_utils, sampling, segment_ops
+from ..utils.edict import EDict
+
+
+# ---------------------------------------------------------------------------
+# pillar formatting
+# ---------------------------------------------------------------------------
+
+
+def format_pillars(bxyz, valid, pillar_size, pc_range_min, pillar_dims):
+    """Per-pillar stats from (subsampled) points.
+
+    Reference: preprocessor_utils.format_pillars (274-311).
+
+    Args:
+        bxyz: [V, 4] padded voxel centers; valid: [V] bool.
+        pillar_size: [2] static; pc_range_min: [2] traced xy origin.
+        pillar_dims: (X, Y) static ints.
+    Returns dict(points=…, pillars=…).
+    """
+    X, Y = pillar_dims
+    P = X * Y
+    ps = jnp.asarray(pillar_size, dtype=bxyz.dtype)
+    coords = jnp.floor((bxyz[:, 1:3] - pc_range_min) / ps).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, jnp.asarray([X - 1, Y - 1]))
+    pidx = coords[:, 0] * Y + coords[:, 1]
+    pidx = jnp.where(valid, pidx, P)  # out-of-range drops from segment ops
+
+    density = segment_ops.segment_count(pidx, P)
+    min_z = segment_ops.segment_min_or(bxyz[:, 3], pidx, P, 0.0)
+    max_z = segment_ops.segment_max_or(bxyz[:, 3], pidx, P, 0.0)
+    xyz = segment_ops.segment_mean(bxyz[:, 1:4], pidx, P)
+    weight = (density > 0.5).astype(bxyz.dtype)
+
+    points = EDict(pillar_coords=coords, pillar_idx=pidx)
+    pillars = EDict(density=density, min_z=min_z, max_z=max_z, xyz=xyz, weight=weight)
+    return points, pillars
+
+
+# ---------------------------------------------------------------------------
+# IRLS plane fit (reference iterative_reweighted_ransac, 32-80)
+# ---------------------------------------------------------------------------
+
+
+def _plane_fit_step(point_xyz, pidx, w, num_pillars, sigma2):
+    center = segment_ops.weighted_segment_mean(point_xyz, w, pidx, num_pillars)
+    d = point_xyz - center[pidx]
+    ddT = (w[:, None, None] * d[:, :, None]) * d[:, None, :]
+    cov = segment_ops.segment_mean(ddT, pidx, num_pillars)
+    _, eigvecs = geometry.eigh3x3(cov)
+    normal = eigvecs[..., 0]  # smallest-eigenvalue direction
+    err = jnp.abs(jnp.sum(d * normal[pidx], axis=-1))
+    new_w = sigma2 / (err * err + sigma2)
+    dist_w = 0.25 / (jnp.sum(d * d, axis=-1) + 0.25)
+    new_w = new_w * dist_w
+    return new_w, center, normal, err
+
+
+def iterative_reweighted_ransac(point_xyz, pidx, w0, num_pillars, sigma2, num_iters=50, stopping_delta=1e-2):
+    """50-iteration IRLS with early-stop on max weight change.
+
+    All pillars are fit simultaneously as a [P, 3, 3] eigh3x3 batch.
+    """
+
+    def cond(state):
+        w, _, _, _, it, done = state
+        return (~done) & (it < num_iters)
+
+    def body(state):
+        w, center, normal, err, it, _ = state
+        new_w, center, normal, err = _plane_fit_step(point_xyz, pidx, w, num_pillars, sigma2)
+        done = jnp.max(jnp.abs(new_w - w)) < stopping_delta
+        return new_w, center, normal, err, it + 1, done
+
+    n = point_xyz.shape[0]
+    init = (
+        w0.reshape(-1),
+        jnp.zeros((num_pillars, 3), point_xyz.dtype),
+        jnp.zeros((num_pillars, 3), point_xyz.dtype),
+        jnp.zeros((n,), point_xyz.dtype),
+        0,
+        jnp.bool_(False),
+    )
+    w, center, normal, err, _, _ = jax.lax.while_loop(cond, body, init)
+    return w, center, normal, err
+
+
+# ---------------------------------------------------------------------------
+# RANSAC ratio sweep (reference compute_min_height_from_ransac, 83-272)
+# ---------------------------------------------------------------------------
+
+
+def ransac_min_height(vox_bxyz, vox_valid, points, pillars, pillar_dims, cfg_sigma2, cfg_k, window_size=4):
+    """Estimate a best-fit ground plane per coarse pillar, TLS-filter the
+    plane set, propagate to fine pillars, and return per-fine-pillar min_z.
+    """
+    X, Y = pillar_dims
+    P = X * Y
+    NX, NY = (X + window_size - 1) // window_size, (Y + window_size - 1) // window_size
+    NP = NX * NY
+
+    new_coords = points.pillar_coords // window_size
+    new_pidx = new_coords[:, 0] * NY + new_coords[:, 1]
+    new_pidx = jnp.where(vox_valid, new_pidx, NP)
+
+    z = vox_bxyz[:, 3]
+    n_min_z = segment_ops.segment_min_or(z, new_pidx, NP, 0.0)
+    n_max_z = segment_ops.segment_max_or(z, new_pidx, NP, 0.0)
+
+    vox_xyz = vox_bxyz[:, 1:4]
+
+    def ratio_body(i, carry):
+        best_conf, best_normal, best_center = carry
+        ratio = 0.3 + 0.7 * i / 29.0
+        cur_z = n_min_z * ratio + n_max_z * (1.0 - ratio)
+        z_diff = cur_z[new_pidx] - z
+        w0 = cfg_sigma2 / (z_diff * z_diff + cfg_sigma2)
+        w, center, normal, err = iterative_reweighted_ransac(
+            vox_xyz, new_pidx, w0.reshape(-1, 1), NP, cfg_sigma2
+        )
+        hit = (err < cfg_sigma2 ** 0.5) & vox_valid
+        num_hit = segment_ops.segment_count(new_pidx, NP, weights=hit.astype(z.dtype))
+        upd = best_conf < num_hit
+        best_normal = jnp.where(upd[:, None], normal, best_normal)
+        best_center = jnp.where(upd[:, None], center, best_center)
+        best_conf = jnp.where(upd, num_hit, best_conf)
+        return best_conf, best_normal, best_center
+
+    best_conf = jnp.zeros((NP,), z.dtype)
+    best_normal = jnp.zeros((NP, 3), z.dtype).at[:, 2].set(1.0)
+    best_center = jnp.zeros((NP, 3), z.dtype)
+    best_conf, best_normal, best_center = jax.lax.fori_loop(
+        0, 30, ratio_body, (best_conf, best_normal, best_center)
+    )
+
+    # ---------------- Truncated Least Squares filter (179-192) -------------
+    # keep a validity mask over coarse-pillar plane hypotheses; thresholds
+    # sweep log-space from 5 to 0.01 in 100 steps; each step recomputes kNN
+    # mean curvature on the surviving set and drops high-curvature planes.
+    tls_valid = best_conf > 0.5
+    thresholds = jnp.logspace(jnp.log10(5.0), jnp.log10(0.01), 100)
+
+    def tls_body(i, valid):
+        thr = thresholds[i]
+        idx, _ = sampling.knn_bruteforce(best_center, best_center, cfg_k, ref_valid=valid)
+        diff = best_center[idx] - best_center[:, None, :]
+        p2p = jnp.abs(jnp.sum(diff * best_normal[:, None, :], axis=-1))
+        curv = p2p / (jnp.linalg.norm(diff, axis=-1) + 1e-4)
+        mean_curv = jnp.mean(curv, axis=-1)
+        mean_curv = jnp.where(valid, mean_curv, -jnp.inf)
+        apply = thr <= jnp.max(mean_curv)  # reference skips thresholds above max
+        new_valid = valid & (mean_curv < thr)
+        # never drop everything
+        new_valid = jnp.where(jnp.any(new_valid), new_valid, valid)
+        return jnp.where(apply, new_valid, valid)
+
+    tls_valid = jax.lax.fori_loop(0, 100, tls_body, tls_valid)
+
+    # ---------------- confidence propagation to fine pillars (216-225) -----
+    # the reference loops surviving centers sequentially, keeping the max of
+    # conf/(dist+1); with conf[:]=1 this is a pure argmax over centers.
+    dist = jnp.linalg.norm(
+        pillars.xyz[:, None, :2] - best_center[None, :, :2], axis=-1
+    )  # [P, NP]
+    conf_ind = 1.0 / (dist + 1.0)
+    conf_ind = jnp.where(tls_valid[None, :], conf_ind, -jnp.inf)
+    sel = jnp.argmax(conf_ind, axis=1)  # [P]
+    fine_normal = best_normal[sel]
+    fine_center = best_center[sel]
+
+    # ---------------- per-point height vs selected plane (238-254) ---------
+    vn = fine_normal[points.pillar_idx.clip(0, P - 1)]
+    vc = fine_center[points.pillar_idx.clip(0, P - 1)]
+    vdiff = vox_xyz - vc
+    vnz = jnp.clip(jnp.abs(vn[:, 2]), 0.01, None) * ((vn[:, 2] >= 0).astype(z.dtype) + 1.0) / 2.0
+    vheight = jnp.sum(vdiff * vn, axis=-1) / vnz
+
+    pidx_safe = jnp.where(vox_valid, points.pillar_idx, P)
+    min_z = segment_ops.segment_mean(z - vheight, pidx_safe, P)
+    return min_z, fine_normal, fine_center
+
+
+# ---------------------------------------------------------------------------
+# L1 joint height-field optimization (reference l1_minimization, 313-350)
+# ---------------------------------------------------------------------------
+
+
+def l1_minimization(pillar_min_z, pillar_weight, pillar_dims, lr, decay_steps, rigid_weight, max_iters, max_countdown=3):
+    """optax AdamW on the pillar height grid with 2nd-order smoothness,
+    MultiStep LR decay (x0.1 at ``decay_steps``), early-stop countdown."""
+    import optax
+
+    X, Y = pillar_dims
+    min_z = pillar_min_z.reshape(X, Y)
+    weight = pillar_weight.reshape(X, Y)
+
+    decay_steps = tuple(decay_steps)
+
+    def lr_fn(step):
+        mult = jnp.asarray(1.0)
+        for d in decay_steps:
+            mult = mult * jnp.where(step >= d, 0.1, 1.0)
+        return lr * mult
+
+    opt = optax.adamw(learning_rate=lr_fn)
+
+    def loss_fn(h):
+        l1 = jnp.mean(jnp.abs((h - min_z) * weight))
+        left = jnp.mean(jnp.abs((h[:-2] - 2 * h[1:-1] + h[2:]) * (weight[1:-1] + 1e-2)))
+        up = jnp.mean(jnp.abs((h[:, :-2] - 2 * h[:, 1:-1] + h[:, 2:]) * (weight[:, 1:-1] + 1e-2)))
+        t1 = jnp.mean(jnp.abs((h[:-2, :-2] - 2 * h[1:-1, 1:-1] + h[2:, 2:]) * (weight[1:-1, 1:-1] + 1e-2)))
+        t2 = jnp.mean(jnp.abs((h[2:, :-2] - 2 * h[1:-1, 1:-1] + h[:-2, 2:]) * (weight[1:-1, 1:-1] + 1e-2)))
+        return l1 + (left + up + t1 + t2) * rigid_weight
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def cond(state):
+        h, opt_state, it, last_loss, countdown = state
+        return (countdown > 0) & (it < max_iters)
+
+    def body(state):
+        h, opt_state, it, last_loss, countdown = state
+        loss, g = grad_fn(h)
+        updates, opt_state = opt.update(g, opt_state, h)
+        h = optax.apply_updates(h, updates)
+        countdown = jnp.where(last_loss - loss < 1e-4, countdown - 1, max_countdown)
+        return h, opt_state, it + 1, loss, countdown
+
+    h0 = jnp.zeros((X, Y), pillar_min_z.dtype)
+    state = (h0, opt.init(h0), 0, jnp.asarray(1e10, pillar_min_z.dtype), max_countdown)
+    h, _, iters, _, _ = jax.lax.while_loop(cond, body, state)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# top-level solver
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pillar_dims", "pillar_size", "use_ransac", "joint_opt", "lr", "decay_steps", "rigid_weight", "max_iters", "sigma2", "tls_k"),
+)
+def ground_plane_solve(
+    vox_bxyz,
+    vox_valid,
+    pc_range_min,
+    pillar_dims,
+    pillar_size=(2.0, 2.0),
+    use_ransac=True,
+    joint_opt=True,
+    lr=0.01,
+    decay_steps=(1600,),
+    rigid_weight=0.5,
+    max_iters=10000,
+    sigma2=0.0025,
+    tls_k=8,
+):
+    """The jitted core: subsampled voxels -> pillar height field.
+
+    Returns dict(height [X*Y], min_z [X*Y], pillar_idx [V], voxel stats).
+    """
+    points, pillars = format_pillars(vox_bxyz, vox_valid, pillar_size, pc_range_min, pillar_dims)
+
+    if use_ransac:
+        min_z, _, _ = ransac_min_height(
+            vox_bxyz, vox_valid, points, pillars, pillar_dims, sigma2, tls_k
+        )
+        pillars.min_z = min_z
+
+    if joint_opt:
+        height = l1_minimization(
+            pillars.min_z, pillars.weight, pillar_dims, lr, decay_steps, rigid_weight, max_iters
+        ).reshape(-1)
+    else:
+        height = pillars.min_z
+
+    vheight = vox_bxyz[:, 3] - height[points.pillar_idx.clip(0, height.shape[0] - 1)]
+    vmin = pillars.min_z[points.pillar_idx.clip(0, height.shape[0] - 1)]
+    vhorizon = vox_bxyz[:, 3] > vmin
+    return EDict(
+        pillar_height=height,
+        pillar_min_z=pillars.min_z,
+        pillar_idx=points.pillar_idx,
+        voxel_height=vheight,
+        voxel_horizon=vhorizon,
+        voxel_error=vheight - vmin,
+    )
+
+
+class GroundPlaneRemover:
+    """Host-side orchestration: subsample, solve (or warm-start from cached
+    pillar heights), truncate below TRUNCATE_HEIGHT, emit stats.
+
+    Mirrors the reference module (ground_plane_remover.py:152-255) including
+    the ``full_*`` pre-removal copies and per-sequence stat files.
+    """
+
+    def __init__(self, model_cfg, runtime_cfg=None):
+        self.model_cfg = EDict(model_cfg)
+
+    def _solve(self, point_fxyz, warmup=None):
+        cfg = self.model_cfg
+        # frame-agnostic 10cm grid subsample (preprocessor_utils.py:369)
+        fxyz0 = jnp.concatenate([jnp.zeros_like(point_fxyz[:, :1]), point_fxyz[:, 1:]], axis=1)
+        vox = grid_utils.grid_sample_mean(fxyz0, [0.10, 0.10, 0.03])
+        vox_bxyz, vox_valid, inverse = vox["bxyz"], vox["valid"], vox["inverse"]
+
+        xy = np.asarray(point_fxyz[:, 1:3])
+        pc_range_min = xy.min(0) - 0.05
+        pillar_size = tuple(float(s) for s in cfg.get("PILLAR_SIZE", [2, 2]))
+        extent = xy.max(0) - pc_range_min
+        dims = np.floor(extent / np.asarray(pillar_size)).astype(int) + 1
+        # bucket to multiples of 8 to bound recompilation
+        dims = (int(np.ceil(dims[0] / 8) * 8), int(np.ceil(dims[1] / 8) * 8))
+
+        if warmup is not None:
+            out = EDict(
+                pillar_height=jnp.asarray(warmup["pillar_height"]).reshape(-1),
+                pillar_min_z=jnp.asarray(warmup["pillar_min_z"]).reshape(-1),
+            )
+            points, _ = format_pillars(
+                vox_bxyz, vox_valid, pillar_size, jnp.asarray(pc_range_min, dtype=vox_bxyz.dtype), dims
+            )
+            P = dims[0] * dims[1]
+            pidx = points.pillar_idx.clip(0, P - 1)
+            vheight = vox_bxyz[:, 3] - out.pillar_height[pidx]
+            vmin = out.pillar_min_z[pidx]
+            out.voxel_height = vheight
+            out.voxel_horizon = vox_bxyz[:, 3] > vmin
+            out.voxel_error = vheight - vmin
+        else:
+            out = ground_plane_solve(
+                vox_bxyz,
+                vox_valid,
+                jnp.asarray(pc_range_min, dtype=vox_bxyz.dtype),
+                dims,
+                pillar_size=pillar_size,
+                use_ransac=bool(cfg.get("RANSAC", False)),
+                joint_opt=bool(cfg.get("JointOpt", False)),
+                lr=float(cfg.get("LR", 0.01)),
+                decay_steps=tuple(int(d) for d in cfg.get("DECAY_STEPS", [1600])),
+                rigid_weight=float(cfg.get("RIGID_WEIGHT", 0.5)),
+                max_iters=int(cfg.get("MAX_NUM_ITERS", 10000)),
+                sigma2=float(cfg.get("SIGMA2", 0.0025)),
+                tls_k=int(cfg.get("K", 8)),
+            )
+        point_height = out.voxel_height[inverse]
+        point_horizon = out.voxel_horizon[inverse]
+        point_error = out.voxel_error[inverse]
+        return point_height, point_horizon, point_error, out.pillar_height, out.pillar_min_z
+
+    def output_stats(self, segmentation_label, ground_mask, sequence_id, log_dir):
+        """Precision/coverage stats per sequence (reference 159-183).
+        Waymo seg convention: labels 1..7 foreground, >=17 ground."""
+        os.makedirs(log_dir, exist_ok=True)
+        seg = np.asarray(segmentation_label)
+        gm = np.asarray(ground_mask)
+        rm_fg = int(((seg[gm] > 0) & (seg[gm] <= 7)).sum())
+        rm_gd = int((seg[gm] >= 17).sum())
+        rm = int(gm.sum())
+        fg = int(((seg > 0) & (seg <= 7)).sum())
+        gd = int((seg >= 17).sum())
+        stats = dict(
+            num_removed_points=rm,
+            num_removed_foreground=rm_fg,
+            num_removed_ground=rm_gd,
+            ground_precision=rm_gd / (rm + 1e-6),
+            ground_coverage=rm_gd / (gd + 1e-6),
+            foreground_precision=rm_fg / (rm + 1e-6),
+            foreground_coverage=rm_fg / (fg + 1e-6),
+        )
+        with open(os.path.join(log_dir, f"{sequence_id}.txt"), "w") as f:
+            f.write(f"{dict(self.model_cfg)}\n")
+            for k, v in stats.items():
+                if isinstance(v, float):
+                    f.write(f"{k}={v:.6f}\n")
+                else:
+                    f.write(f"#{k}={v}\n")
+        return stats
+
+    def __call__(self, seq_dict):
+        cfg = self.model_cfg
+        sequence_id = str(seq_dict["frame_id"])[:-4] if "frame_id" in seq_dict else "seq"
+        point_fxyz = jnp.asarray(seq_dict["point_fxyz"])
+
+        warmup = None
+        path = os.path.join(cfg.DIR, sequence_id) if "DIR" in cfg else None
+        if path and os.path.exists(os.path.join(path, "pillar_height.npz")):
+            warmup = dict(np.load(os.path.join(path, "pillar_height.npz")))
+
+        point_height, point_horizon, point_error, pillar_height, pillar_min_z = self._solve(
+            point_fxyz, warmup
+        )
+        if path and warmup is None:
+            os.makedirs(path, exist_ok=True)
+            np.savez(
+                os.path.join(path, "pillar_height.npz"),
+                pillar_height=np.asarray(pillar_height),
+                pillar_min_z=np.asarray(pillar_min_z),
+            )
+
+        seq_dict["point_height"] = point_height
+        seq_dict["point_horizon"] = point_horizon
+        seq_dict["point_error"] = point_error
+
+        heights = cfg.get("TRUNCATE_HEIGHT", [0.5])
+        for h in heights:
+            ground_mask = np.asarray(point_height) < h
+            if "segmentation_label" in seq_dict and "LOG_DIR" in cfg:
+                self.output_stats(
+                    seq_dict["segmentation_label"], ground_mask, sequence_id,
+                    os.path.join(cfg.LOG_DIR, f"height{h}"),
+                )
+        # final mask uses the last height, like the reference (232-239)
+        keep = ~ground_mask
+        for key in ["point_fxyz", "segmentation_label", "point_sweep", "point_height", "instance_label", "point_horizon"]:
+            if key in seq_dict:
+                seq_dict[f"full_{key}"] = seq_dict[key]
+                seq_dict[key] = np.asarray(seq_dict[key])[keep]
+        return seq_dict
