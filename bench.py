@@ -1,0 +1,121 @@
+"""Benchmark: end-to-end cluster extraction + tracking throughput on a
+synthetic Waymo-scale sequence (frames/hour/chip — the north-star metric,
+BASELINE.json). Prints ONE JSON line.
+
+The synthetic scene mirrors the real workload shape: ~20 frames of ~90k
+above-ground points after 8 cm subsampling, a ground plane, and moving rigid
+clusters; the measured path is ground removal -> multi-radius cluster
+proposal (radius graph + CC) -> per-component ICP tracking, i.e. the hot
+path of BASELINE configs 1-3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def make_scene(num_frames=20, points_per_frame=90_000, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = []
+    n_clusters = 24
+    centers = rng.rand(n_clusters, 2) * 120 - 60
+    velo = rng.randn(n_clusters, 2) * 0.4
+    sizes = rng.rand(n_clusters) * 1.5 + 0.5
+    for f in range(num_frames):
+        n_ground = int(points_per_frame * 0.65)
+        gx = rng.rand(n_ground, 2) * 150 - 75
+        gz = 0.02 * np.sin(gx[:, 0] / 10) + rng.randn(n_ground) * 0.02
+        ground = np.stack([gx[:, 0], gx[:, 1], gz], axis=1)
+        objs = []
+        per = (points_per_frame - n_ground) // n_clusters
+        for c in range(n_clusters):
+            pos = centers[c] + velo[c] * f
+            pts = rng.randn(per, 3) * sizes[c] * np.array([1, 1, 0.5])
+            pts[:, :2] += pos
+            pts[:, 2] += sizes[c] + 0.5
+            objs.append(pts)
+        xyz = np.concatenate([ground] + objs).astype(np.float32)
+        fcol = np.full((len(xyz), 1), f, np.float32)
+        frames.append(np.concatenate([fcol, xyz], axis=1))
+    return np.concatenate(frames)
+
+
+def main():
+    t_setup = time.time()
+    import jax
+
+    from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
+    from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
+    from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking
+    from pcseqlearning_tpu.utils.edict import EDict
+
+    num_frames = int(os.environ.get("BENCH_FRAMES", 20))
+    seq = make_scene(num_frames=num_frames)
+    seq_dict = {
+        "point_fxyz": seq,
+        "point_sweep": seq[:, 0].astype(np.int64),
+        "point_feat": np.zeros((len(seq), 1), np.float32),
+        "frame_id": "bench_seq_000",
+        "gt_box_attr": np.zeros((0, 7), np.float32),
+        "gt_box_cls_label": np.zeros(0, np.int64),
+        "gt_box_track_label": np.zeros(0, np.int64),
+        "gt_box_frame": np.zeros(0, np.int64),
+        "gt_box_velo": np.zeros(0, np.float32),
+        "moving": np.zeros(0, bool),
+    }
+
+    remover = GroundPlaneRemover(EDict(
+        PILLAR_SIZE=[2, 2], LR=0.01, DECAY_STEPS=[1600], RIGID_WEIGHT=0.5,
+        MAX_NUM_ITERS=2000, TRUNCATE_HEIGHT=[0.5], RANSAC=True, JointOpt=True,
+        SIGMA2=0.0025, K=8,
+    ))
+    proposal = ClusterProposal(EDict(
+        GRAPH=EDict(TYPE="RadiusGraph", RADIUS=[1.25, 0.75], MAX_NUM_NEIGHBORS=32,
+                    SORT_BY_DIST=True, RELATIVE_KEY="fxyz"),
+        COMPONENT_KEYS=["component_rad1x25", "component_rad0x75"],
+    ))
+    tracking = ClusterTracking(EDict(
+        ANGLE_REGULARIZER=10,
+        COMPONENT_KEYS=["component_rad1x25"],
+        REGISTRATION=EDict(
+            GRAPH=EDict(TYPE="RadiusGraph", RADIUS=[2.5, 1.25, 1.0], MAX_NUM_NEIGHBORS=1,
+                        SORT_BY_DIST=True, RELATIVE_KEY="fxyz"),
+            VOXEL_SIZE=[[0.4, 0.4, 0.6], [0.2, 0.2, 0.3], [0.1, 0.1, 0.15]],
+            STOPPING_DELTA=[0.05, 0.05, 0.05],
+        ),
+        NN_GRAPH=EDict(TYPE="RadiusGraph", RADIUS=0.5, MAX_NUM_NEIGHBORS=1,
+                       SORT_BY_DIST=True, RELATIVE_KEY="fxyz"),
+        TRACKING_PARAMS=EDict(REGISTRATION_ERROR_COEFFICIENT=0.13, TRACK_INTERVAL=8,
+                              ANGLE_THRESHOLD=45, MIN_MOVE_FRAME=6),
+        MAX_ICP_ITER=20,
+    ))
+
+    # warmup (compile) on a 2-frame slice
+    warm = {k: (v[seq[:, 0] < 2] if isinstance(v, np.ndarray) and len(v) == len(seq) else v)
+            for k, v in seq_dict.items()}
+    warm["point_fxyz"] = seq[seq[:, 0] < 2]
+    _ = remover(dict(warm))
+
+    t0 = time.time()
+    out = remover(dict(seq_dict))
+    out = proposal(out)
+    out = tracking(out)
+    jax.block_until_ready(jax.numpy.zeros(1))
+    elapsed = time.time() - t0
+
+    frames_per_hour = num_frames / elapsed * 3600.0
+    baseline = 10_000.0  # BASELINE.json north star: frames/hr/chip
+    print(json.dumps({
+        "metric": "extraction_frames_per_hour_per_chip",
+        "value": round(frames_per_hour, 1),
+        "unit": "frames/hr",
+        "vs_baseline": round(frames_per_hour / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

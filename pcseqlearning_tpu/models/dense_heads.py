@@ -41,7 +41,8 @@ def generate_anchors(grid_size_xy, point_cloud_range, anchor_sizes, anchor_rotat
     anchors = np.zeros((ny, nx, S, R, 7), np.float32)
     anchors[..., 0] = xs[None, :, None, None]
     anchors[..., 1] = ys[:, None, None, None]
-    anchors[..., 2] = (hts[:, None] + sizes[:, 2:3] / 2.0)[None, None, :, :, 0][..., None]
+    z = hts + sizes[:, 2] / 2.0  # anchor center z = bottom + dz/2, [S]
+    anchors[..., 2] = z[None, None, :, None]
     anchors[..., 3:6] = sizes[None, None, :, None, :]
     anchors[..., 6] = rots[None, None, None, :]
     return anchors  # [ny, nx, S, R, 7]

@@ -24,7 +24,7 @@ from ..utils.edict import EDict
 from .backbones_2d import BACKBONES_2D, MAP_TO_BEV
 from .backbones_3d import BACKBONES_3D
 from .dense_heads import DENSE_HEADS
-from .vfe import VFES
+from .vfe import VFES, DynamicMeanVFE
 
 
 class Detector3DTemplate(nn.Module):

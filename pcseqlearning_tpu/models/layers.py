@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -58,13 +59,14 @@ class SubMConvBlock(nn.Module):
     """SubMConv3d + BN + ReLU (reference post_act_block, conv_type='subm')."""
 
     out_channels: int
-    kernel_size: int = 3
+    kernel_size: object = 3
     use_norm: bool = True
     use_act: bool = True
 
     @nn.compact
     def __call__(self, st: sc.SparseTensor, train: bool = False):
-        k = self.kernel_size ** 3
+        ks = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) else (self.kernel_size,) * 3
+        k = int(np.prod(ks))
         cin = st.features.shape[-1]
         w = self.param(
             "kernel",
@@ -86,16 +88,17 @@ class SparseConvBlock(nn.Module):
     conv_type='spconv')."""
 
     out_channels: int
-    kernel_size: int = 3
-    stride: int = 2
-    padding: int = 1
+    kernel_size: object = 3
+    stride: object = 2
+    padding: object = 1
     out_cap: int | None = None
     use_norm: bool = True
     use_act: bool = True
 
     @nn.compact
     def __call__(self, st: sc.SparseTensor, train: bool = False):
-        k = self.kernel_size ** 3
+        ks = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) else (self.kernel_size,) * 3
+        k = int(np.prod(ks))
         cin = st.features.shape[-1]
         w = self.param(
             "kernel",

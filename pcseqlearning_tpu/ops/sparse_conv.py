@@ -72,14 +72,14 @@ def subm_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, precision=N
     feats = _mask_features(st.features, st.valid)
     v = feats.shape[0]
 
-    def gather_idx(o):
-        # input voxel contributing through kernel offset o sits at
-        # out_coord + (o - center) (stride 1, submanifold)
-        delta = offs[o] - center
-        q = st.coords.at[:, 1:4].add(delta[None, :])
-        return hash_graph.coord_lookup(table, q, st.valid)
-
-    idx_all = jax.vmap(gather_idx)(jnp.arange(k))  # [K, V]
+    # one batched lookup for the full rulebook: input voxel contributing
+    # through kernel offset o sits at out_coord + (o - center)
+    delta = offs - center[None, :]  # [K, 3]
+    zyx = st.coords[None, :, 1:4] + delta[:, None, :]  # [K, V, 3]
+    b = jnp.broadcast_to(st.coords[None, :, 0:1], (k, v, 1))
+    q = jnp.concatenate([b, zyx], axis=-1).reshape(k * v, 4)
+    q_valid = jnp.broadcast_to(st.valid[None, :], (k, v)).reshape(-1)
+    idx_all = hash_graph.coord_lookup(table, q, q_valid).reshape(k, v)
 
     def body(carry, inp):
         idx, w = inp
@@ -167,12 +167,11 @@ def sparse_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, stride=2,
     table = hash_graph.build_coord_table(st.coords, st.valid)
     feats = _mask_features(st.features, st.valid)
 
-    def gather_idx(o):
-        zyx = out_coords[:, 1:4] * stride_a[None, :] - pad_a[None, :] + offs[o][None, :]
-        q = jnp.concatenate([out_coords[:, 0:1], zyx], axis=1)
-        return hash_graph.coord_lookup(table, q, out_valid)
-
-    idx_all = jax.vmap(gather_idx)(jnp.arange(k))  # [K, V_out]
+    zyx = out_coords[None, :, 1:4] * stride_a[None, None, :] - pad_a[None, None, :] + offs[:, None, :]
+    b = jnp.broadcast_to(out_coords[None, :, 0:1], (k, out_cap, 1))
+    q = jnp.concatenate([b, zyx], axis=-1).reshape(k * out_cap, 4)
+    q_valid = jnp.broadcast_to(out_valid[None, :], (k, out_cap)).reshape(-1)
+    idx_all = hash_graph.coord_lookup(table, q, q_valid).reshape(k, out_cap)
 
     def body(carry, inp):
         idx, w = inp
@@ -212,17 +211,16 @@ def sparse_inverse_conv3d(st: SparseTensor, target: SparseTensor, weights, bias=
     v = feats.shape[0]
     t_cap = target.features.shape[0]
 
-    def gather_idx(o):
-        # coarse voxel c contributes to fine voxel f through offset o when
-        # c * stride - pad + o == f  =>  c == (f + pad - o) / stride
-        zyx = target.coords[:, 1:4] + pad_a[None, :] - offs[o][None, :]
-        div_ok = jnp.all(zyx % stride_a[None, :] == 0, axis=-1)
-        c = zyx // stride_a[None, :]
-        q = jnp.concatenate([target.coords[:, 0:1], c], axis=1)
-        idx = hash_graph.coord_lookup(table, q, target.valid & div_ok)
-        return jnp.where(div_ok, idx, -1)
-
-    idx_all = jax.vmap(gather_idx)(jnp.arange(k))
+    # coarse voxel c contributes to fine voxel f through offset o when
+    # c * stride - pad + o == f  =>  c == (f + pad - o) / stride
+    zyx = target.coords[None, :, 1:4] + pad_a[None, None, :] - offs[:, None, :]
+    div_ok = jnp.all(zyx % stride_a[None, None, :] == 0, axis=-1)  # [K, T]
+    cc_ = zyx // stride_a[None, None, :]
+    b = jnp.broadcast_to(target.coords[None, :, 0:1], (k, t_cap, 1))
+    q = jnp.concatenate([b, cc_], axis=-1).reshape(k * t_cap, 4)
+    q_valid = (jnp.broadcast_to(target.valid[None, :], (k, t_cap)) & div_ok).reshape(-1)
+    idx_all = hash_graph.coord_lookup(table, q, q_valid).reshape(k, t_cap)
+    idx_all = jnp.where(div_ok, idx_all, -1)
 
     def body(carry, inp):
         idx, w = inp
@@ -261,12 +259,11 @@ def sparse_maxpool3d(st: SparseTensor, kernel_size=3, stride=2, padding=1, out_c
     feats = _mask_features(st.features, st.valid)
     neg = jnp.asarray(-jnp.inf, feats.dtype)
 
-    def gather_idx(o):
-        zyx = out_coords[:, 1:4] * stride_a[None, :] - pad_a[None, :] + offs[o][None, :]
-        q = jnp.concatenate([out_coords[:, 0:1], zyx], axis=1)
-        return hash_graph.coord_lookup(table, q, out_valid)
-
-    idx_all = jax.vmap(gather_idx)(jnp.arange(k))
+    zyx = out_coords[None, :, 1:4] * stride_a[None, None, :] - pad_a[None, None, :] + offs[:, None, :]
+    b = jnp.broadcast_to(out_coords[None, :, 0:1], (k, out_cap, 1))
+    q = jnp.concatenate([b, zyx], axis=-1).reshape(k * out_cap, 4)
+    q_valid = jnp.broadcast_to(out_valid[None, :], (k, out_cap)).reshape(-1)
+    idx_all = hash_graph.coord_lookup(table, q, q_valid).reshape(k, out_cap)
 
     def body(carry, idx):
         ok = idx >= 0

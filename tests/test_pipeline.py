@@ -1,0 +1,137 @@
+"""End-to-end extraction-pipeline integration test on a synthetic scene:
+flat ground + two elevated clusters, one translating rigidly. Mirrors the
+reference's metric-driven validation style (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from pcseqlearning_tpu.utils.edict import EDict
+
+
+def _scene(num_frames=4, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = []
+    seg = []
+    for f in range(num_frames):
+        gx = rng.rand(1500, 2) * 30 - 15
+        ground = np.stack([gx[:, 0], gx[:, 1], rng.randn(1500) * 0.02], 1)
+        # cluster A moves +0.4m/frame in x; cluster B static
+        a = rng.randn(120, 3) * 0.4 + np.array([2.0 + 0.4 * f, 3.0, 1.2])
+        b = rng.randn(100, 3) * 0.4 + np.array([-5.0, -4.0, 1.0])
+        xyz = np.concatenate([ground, a, b]).astype(np.float32)
+        fcol = np.full((len(xyz), 1), f, np.float32)
+        frames.append(np.concatenate([fcol, xyz], 1))
+        s = np.zeros(len(xyz), np.int64)
+        s[:1500] = 17  # ground labels
+        s[1500:1620] = 1  # vehicle-ish
+        s[1620:] = 1
+        seg.append(s)
+    return np.concatenate(frames), np.concatenate(seg)
+
+
+@pytest.fixture(scope="module")
+def seq_dict(tmp_path_factory):
+    pts, seg = _scene()
+    d = {
+        "point_fxyz": pts,
+        "point_sweep": pts[:, 0].astype(np.int64),
+        "point_feat": np.zeros((len(pts), 1), np.float32),
+        "segmentation_label": seg,
+        "frame_id": "test_seq_000",
+    }
+    return d
+
+
+def test_ground_removal(seq_dict, tmp_path):
+    from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
+
+    remover = GroundPlaneRemover(EDict(
+        PILLAR_SIZE=[2, 2], LR=0.01, DECAY_STEPS=[200], RIGID_WEIGHT=0.5,
+        MAX_NUM_ITERS=300, TRUNCATE_HEIGHT=[0.5], RANSAC=False, JointOpt=True,
+        SIGMA2=0.0025, K=8,
+        DIR=str(tmp_path / "height"), LOG_DIR=str(tmp_path / "log"),
+    ))
+    out = remover(dict(seq_dict))
+    # ground (z~0) removed, clusters (z~1+) kept
+    kept = out["point_fxyz"]
+    seg_kept = out["segmentation_label"]
+    frac_ground_kept = (seg_kept == 17).mean()
+    frac_cluster_kept = (seg_kept == 1).mean()
+    assert frac_cluster_kept > 0.5, "clusters should dominate the kept points"
+    assert len(kept) < len(seq_dict["point_fxyz"]) * 0.5, "most ground removed"
+    # stats file written
+    stats = list((tmp_path / "log").rglob("*.txt"))
+    assert stats, "per-sequence stats file missing"
+    txt = stats[0].read_text()
+    assert "ground_coverage" in txt and "foreground_precision" in txt
+
+
+def test_cluster_proposal_and_tracking(seq_dict, tmp_path):
+    from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
+    from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking
+
+    # feed only above-ground points (simulate post-removal)
+    pts = seq_dict["point_fxyz"]
+    above = pts[:, 3] > 0.4
+    d = {
+        "point_fxyz": pts[above],
+        "point_sweep": seq_dict["point_sweep"][above],
+        "segmentation_label": seq_dict["segmentation_label"][above],
+        "frame_id": "test_seq_000",
+        # GT: one box per frame per cluster (A moving, B static)
+        "gt_box_attr": np.concatenate([
+            np.array([[2.0 + 0.4 * f, 3.0, 1.2, 2.4, 2.4, 2.4, 0.0],
+                      [-5.0, -4.0, 1.0, 2.4, 2.4, 2.4, 0.0]], np.float32)
+            for f in range(4)
+        ]),
+        "gt_box_cls_label": np.tile([1, 1], 4),
+        "gt_box_track_label": np.tile([0, 1], 4),
+        "gt_box_frame": np.repeat(np.arange(4), 2),
+        "gt_box_velo": np.tile([0.4, 0.0], 4).astype(np.float32),
+        "moving": np.tile([True, False], 4),
+    }
+    proposal = ClusterProposal(EDict(
+        GRAPH=EDict(TYPE="RadiusGraph", RADIUS=[1.0], MAX_NUM_NEIGHBORS=16,
+                    SORT_BY_DIST=True, RELATIVE_KEY="fxyz"),
+        COMPONENT_KEYS=["component_rad1x0"],
+        CHUNK_FRAMES=10,
+    ))
+    d = proposal(d)
+    comp = d["point_component_rad1x0"]
+    assert comp.min() >= 0
+    # within one frame, cluster A and B points get different components
+    f0 = d["point_sweep"] == 0
+    seg0 = d["segmentation_label"][f0]
+    c0 = comp[f0]
+    a_comps = set(c0[(seg0 == 1)][:100].tolist())
+    assert len(a_comps) >= 2  # two clusters => at least two components
+    # proposals score well against GT boxes
+    assert d["gt_box_best_iou"].max() > 0.8
+
+    tracking = ClusterTracking(EDict(
+        ANGLE_REGULARIZER=10,
+        COMPONENT_KEYS=["component_rad1x0"],
+        REGISTRATION=EDict(
+            GRAPH=EDict(TYPE="RadiusGraph", RADIUS=[2.5, 1.0], MAX_NUM_NEIGHBORS=1,
+                        SORT_BY_DIST=True, RELATIVE_KEY="fxyz"),
+            VOXEL_SIZE=[[0.4, 0.4, 0.6], [0.2, 0.2, 0.3]],
+            STOPPING_DELTA=[0.05, 0.05],
+        ),
+        NN_GRAPH=EDict(TYPE="RadiusGraph", RADIUS=0.5, MAX_NUM_NEIGHBORS=1,
+                       SORT_BY_DIST=True, RELATIVE_KEY="fxyz"),
+        DIR=str(tmp_path / "tracking"),
+        TRACKING_PARAMS=EDict(REGISTRATION_ERROR_COEFFICIENT=0.5, TRACK_INTERVAL=3,
+                              ANGLE_THRESHOLD=45, MIN_MOVE_FRAME=2),
+        MAX_ICP_ITER=10,
+    ))
+    d["full_point_fxyz"] = seq_dict["point_fxyz"]
+    d["full_point_sweep"] = seq_dict["point_sweep"]
+    d["full_point_height"] = seq_dict["point_fxyz"][:, 3].copy()
+    d["full_segmentation_label"] = seq_dict["segmentation_label"]
+    d = tracking(d)
+    sb = d["seq_boxes"]
+    # tracking must cover the boxes with decent IoU
+    assert sb.best_iou.max() > 0.5
+    # artifacts written with the reference's naming scheme
+    files = list((tmp_path / "tracking").rglob("*.pkl"))
+    assert any(f.name == "all.pkl" for f in files)
