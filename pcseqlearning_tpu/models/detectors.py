@@ -81,6 +81,37 @@ class Detector3DTemplate(nn.Module):
             num_upsample_filters=tuple(b2d.get("NUM_UPSAMPLE_FILTERS", [256, 256])),
         )
 
+        # PFE (PV-RCNN keypoint branch)
+        if "PFE" in cfg:
+            from .pfe import VoxelSetAbstraction
+
+            pfe_cfg = cfg["PFE"]
+            self.pfe = VoxelSetAbstraction(
+                voxel_size=self.voxel_size,
+                point_cloud_range=self.point_cloud_range,
+                num_keypoints=int(pfe_cfg.get("NUM_KEYPOINTS", 2048)),
+            )
+        else:
+            self.pfe = None
+
+        # RoI head (two-stage models)
+        if "ROI_HEAD" in cfg:
+            from .roi_heads import ROI_HEADS
+
+            rcfg = cfg["ROI_HEAD"]
+            name = rcfg["NAME"]
+            if name == "VoxelRCNNHead":
+                self.roi_head = ROI_HEADS[name](
+                    voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
+                    grid_size=int(rcfg.get("GRID_SIZE", 6)),
+                )
+            elif name == "PVRCNNHead":
+                self.roi_head = ROI_HEADS[name](grid_size=int(rcfg.get("GRID_SIZE", 6)))
+            else:
+                self.roi_head = ROI_HEADS[name]()
+        else:
+            self.roi_head = None
+
         head_cfg = cfg["DENSE_HEAD"]
         stride = 8 if self.backbone_3d is not None else 1
         if head_cfg["NAME"] == "CenterHead":
@@ -115,11 +146,69 @@ class Detector3DTemplate(nn.Module):
         if self.backbone_3d is not None:
             batch_dict = self.backbone_3d(batch_dict, train)
         batch_dict = self.map_to_bev(batch_dict, train)
+        if self.pfe is not None:
+            batch_dict = self.pfe(batch_dict, train)
         batch_dict = self.backbone_2d(batch_dict, train)
         batch_dict = self.dense_head(batch_dict, train)
         if train:
             losses = self.dense_head.loss(batch_dict)
             batch_dict["losses"] = losses
+        if self.roi_head is not None:
+            batch_dict = self._run_roi_stage(batch_dict, train)
+        return batch_dict
+
+    def _run_roi_stage(self, batch_dict, train):
+        """Two-stage refinement: per-sample proposal NMS -> flattened RoI
+        table -> pooled head -> (train) target assignment + losses
+        (reference roi_head_template.py proposal_layer/assign_targets)."""
+        from . import roi_heads as rh
+
+        num_rois = int(self.model_cfg.get("ROI_HEAD", {}).get("NMS_POST_MAXSIZE", 128))
+        if "center_preds" in batch_dict:
+            boxes, scores, _, _ = self.dense_head.generate_predicted_boxes(batch_dict)
+        else:
+            boxes, cls_scores = self.dense_head.generate_predicted_boxes(batch_dict)
+            scores = jnp.max(cls_scores, axis=-1)
+
+        def one(b, s):
+            return rh.proposal_layer(b, s, num_rois=num_rois)
+
+        rois, roi_scores, roi_valid = jax.vmap(one)(boxes, scores)  # [B, R, 7]
+        B, R = rois.shape[0], rois.shape[1]
+        rois_flat = rois.reshape(B * R, 7)
+        valid_flat = roi_valid.reshape(B * R)
+        batch_dict["roi_batch"] = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+        cls_p, reg_p = self.roi_head(batch_dict, rois_flat, valid_flat, train)
+        batch_dict["rois"] = rois
+        batch_dict["roi_scores"] = roi_scores
+        batch_dict["roi_valid"] = roi_valid
+        batch_dict["rcnn_cls"] = cls_p.reshape(B, R)
+        batch_dict["rcnn_reg"] = reg_p.reshape(B, R, -1)
+
+        if train:
+            gt = batch_dict["gt_boxes"]
+
+            def targets(rois_b, valid_b, gt_b):
+                return rh.assign_roi_targets(
+                    rois_b, valid_b, gt_b[:, :7], gt_b[:, 7].astype(jnp.int32),
+                    gt_b[:, 7] > 0,
+                )
+
+            cls_t, reg_t, fg, _, _ = jax.vmap(targets)(rois, roi_valid, gt)
+            cls_l, reg_l = rh.roi_head_loss(
+                cls_p, reg_p, cls_t.reshape(-1), reg_t.reshape(B * R, -1),
+                fg.reshape(-1), valid_flat,
+            )
+            losses = dict(batch_dict.get("losses", {}))
+            losses["rcnn_loss_cls"] = cls_l
+            losses["rcnn_loss_reg"] = reg_l
+            base_key = "center_loss" if "center_preds" in batch_dict else "rpn_loss"
+            losses["total_loss"] = losses.get(base_key, 0.0) + cls_l + reg_l
+            batch_dict["losses"] = losses
+        else:
+            refined = jax.vmap(rh.decode_roi_boxes)(rois, batch_dict["rcnn_reg"])
+            batch_dict["refined_boxes"] = refined
+            batch_dict["refined_scores"] = jax.nn.sigmoid(batch_dict["rcnn_cls"])
         return batch_dict
 
 
@@ -254,7 +343,14 @@ def _freeze(v):
 
 
 DETECTORS = {
+    # registry parity with the reference (detectors/__init__.py:14-27);
+    # every model is the config-driven template with its module stack
     "SECONDNet": build_detector,
     "CenterPoint": build_detector,
     "PointPillar": build_detector,
+    "PVRCNN": build_detector,
+    "PVRCNNPlusPlus": build_detector,
+    "VoxelRCNN": build_detector,
+    "PartA2Net": build_detector,
+    "SECONDNetIoU": build_detector,
 }

@@ -121,7 +121,8 @@ def init_train_state(model, tx, sample_batch, rng=None):
         jnp.asarray(sample_batch["valid"]),
         jnp.asarray(sample_batch["gt_boxes"]),
     )
-    variables = model.init(rng, bd, train=True)
+    bs = bd.pop("batch_size")
+    variables = jax.jit(lambda key, a: model.init(key, {**a, "batch_size": bs}, train=True))(rng, bd)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(params, batch_stats, tx.init(params), jnp.zeros((), jnp.int32))

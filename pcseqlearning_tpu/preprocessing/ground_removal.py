@@ -312,7 +312,8 @@ def ground_plane_solve(
     vheight = vox_bxyz[:, 3] - height[points.pillar_idx.clip(0, height.shape[0] - 1)]
     vmin = pillars.min_z[points.pillar_idx.clip(0, height.shape[0] - 1)]
     vhorizon = vox_bxyz[:, 3] > vmin
-    return EDict(
+    # plain dict: jit outputs must be registered pytrees
+    return dict(
         pillar_height=height,
         pillar_min_z=pillars.min_z,
         pillar_idx=points.pillar_idx,
@@ -364,7 +365,7 @@ class GroundPlaneRemover:
             out.voxel_horizon = vox_bxyz[:, 3] > vmin
             out.voxel_error = vheight - vmin
         else:
-            out = ground_plane_solve(
+            out = EDict(ground_plane_solve(
                 vox_bxyz,
                 vox_valid,
                 jnp.asarray(pc_range_min, dtype=vox_bxyz.dtype),
@@ -378,7 +379,7 @@ class GroundPlaneRemover:
                 max_iters=int(cfg.get("MAX_NUM_ITERS", 10000)),
                 sigma2=float(cfg.get("SIGMA2", 0.0025)),
                 tls_k=int(cfg.get("K", 8)),
-            )
+            ))
         point_height = out.voxel_height[inverse]
         point_horizon = out.voxel_horizon[inverse]
         point_error = out.voxel_error[inverse]

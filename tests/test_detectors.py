@@ -69,20 +69,28 @@ def _centerpoint_cfg():
 def test_second_forward_and_loss(rng, runtime_cfg):
     model = build_detector(_second_cfg(), runtime_cfg)
     batch = _toy_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
-    out = model.apply(variables, batch, train=True, mutable=["batch_stats"])[0]
-    losses = out["losses"]
-    assert np.isfinite(float(losses["rpn_loss"]))
-    assert float(losses["rpn_loss"]) > 0
-    # grads flow
-    def loss_fn(params):
-        o = model.apply(
-            {"params": params, "batch_stats": variables["batch_stats"]},
-            batch, train=True, mutable=["batch_stats"],
-        )[0]
-        return o["losses"]["rpn_loss"]
+    init_arrs = {k: v for k, v in batch.items() if k != "batch_size"}
+    variables = jax.jit(
+        lambda key, a: model.init(key, {**a, "batch_size": 2}, train=True)
+    )(jax.random.PRNGKey(0), init_arrs)
 
-    g = jax.grad(loss_fn)(variables["params"])
+    arrs = {k: v for k, v in batch.items() if k != "batch_size"}
+
+    @jax.jit
+    def fwd_and_grad(params, batch_stats, arrs):
+        def loss_fn(p):
+            o = model.apply(
+                {"params": p, "batch_stats": batch_stats}, {**arrs, "batch_size": 2},
+                train=True, mutable=["batch_stats"],
+            )[0]
+            return o["losses"]["rpn_loss"], o["losses"]
+
+        (loss, losses), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, losses, g
+
+    loss, losses, g = fwd_and_grad(variables["params"], variables["batch_stats"], arrs)
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
     leaves = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
@@ -90,11 +98,25 @@ def test_second_forward_and_loss(rng, runtime_cfg):
 def test_centerpoint_forward_and_loss(rng, runtime_cfg):
     model = build_detector(_centerpoint_cfg(), runtime_cfg)
     batch = _toy_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
-    out = model.apply(variables, batch, train=True, mutable=["batch_stats"])[0]
-    losses = out["losses"]
+    init_arrs = {k: v for k, v in batch.items() if k != "batch_size"}
+    variables = jax.jit(
+        lambda key, a: model.init(key, {**a, "batch_size": 2}, train=True)
+    )(jax.random.PRNGKey(0), init_arrs)
+
+    arrs = {k: v for k, v in batch.items() if k != "batch_size"}
+
+    @jax.jit
+    def fwd_train(v, arrs):
+        out = model.apply(v, {**arrs, "batch_size": 2}, train=True, mutable=["batch_stats"])[0]
+        return out["losses"]
+
+    losses = fwd_train(variables, arrs)
     assert np.isfinite(float(losses["center_loss"]))
-    # eval path decodes boxes
-    out_eval = model.apply(variables, batch, train=False, mutable=False)
-    preds = out_eval["center_preds"]
-    assert preds["hm"].shape[-1] == 2
+
+    @jax.jit
+    def fwd_eval(v, arrs):
+        out = model.apply(v, {**arrs, "batch_size": 2}, train=False, mutable=False)
+        return out["center_preds"]["hm"]
+
+    hm = fwd_eval(variables, arrs)
+    assert hm.shape[-1] == 2
