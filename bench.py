@@ -18,6 +18,18 @@ import time
 import numpy as np
 
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — compiles amortize across runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def make_scene(num_frames=20, points_per_frame=90_000, seed=0):
     rng = np.random.RandomState(seed)
     frames = []
@@ -25,6 +37,7 @@ def make_scene(num_frames=20, points_per_frame=90_000, seed=0):
     centers = rng.rand(n_clusters, 2) * 120 - 60
     velo = rng.randn(n_clusters, 2) * 0.4
     sizes = rng.rand(n_clusters) * 1.5 + 0.5
+    gt_attr, gt_frame, gt_track = [], [], []
     for f in range(num_frames):
         n_ground = int(points_per_frame * 0.65)
         gx = rng.rand(n_ground, 2) * 150 - 75
@@ -38,14 +51,26 @@ def make_scene(num_frames=20, points_per_frame=90_000, seed=0):
             pts[:, :2] += pos
             pts[:, 2] += sizes[c] + 0.5
             objs.append(pts)
+            gt_attr.append([pos[0], pos[1], sizes[c] + 0.5, 4 * sizes[c], 4 * sizes[c], 2 * sizes[c], 0.0])
+            gt_frame.append(f)
+            gt_track.append(c)
         xyz = np.concatenate([ground] + objs).astype(np.float32)
         fcol = np.full((len(xyz), 1), f, np.float32)
         frames.append(np.concatenate([fcol, xyz], axis=1))
-    return np.concatenate(frames)
+    gt = dict(
+        gt_box_attr=np.asarray(gt_attr, np.float32),
+        gt_box_frame=np.asarray(gt_frame, np.int64),
+        gt_box_track_label=np.asarray(gt_track, np.int64),
+        gt_box_cls_label=np.ones(len(gt_attr), np.int64),
+        gt_box_velo=np.linalg.norm(velo, axis=1)[np.asarray(gt_track)].astype(np.float32),
+        moving=np.linalg.norm(velo, axis=1)[np.asarray(gt_track)] > 0.05,
+    )
+    return np.concatenate(frames), gt
 
 
 def main():
     t_setup = time.time()
+    _enable_compilation_cache()
     import jax
 
     from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
@@ -54,18 +79,13 @@ def main():
     from pcseqlearning_tpu.utils.edict import EDict
 
     num_frames = int(os.environ.get("BENCH_FRAMES", 20))
-    seq = make_scene(num_frames=num_frames)
+    seq, gt = make_scene(num_frames=num_frames)
     seq_dict = {
         "point_fxyz": seq,
         "point_sweep": seq[:, 0].astype(np.int64),
         "point_feat": np.zeros((len(seq), 1), np.float32),
         "frame_id": "bench_seq_000",
-        "gt_box_attr": np.zeros((0, 7), np.float32),
-        "gt_box_cls_label": np.zeros(0, np.int64),
-        "gt_box_track_label": np.zeros(0, np.int64),
-        "gt_box_frame": np.zeros(0, np.int64),
-        "gt_box_velo": np.zeros(0, np.float32),
-        "moving": np.zeros(0, bool),
+        **gt,
     }
 
     remover = GroundPlaneRemover(EDict(
@@ -94,10 +114,13 @@ def main():
         MAX_ICP_ITER=20,
     ))
 
-    # warmup (compile) on a 2-frame slice
-    warm = {k: (v[seq[:, 0] < 2] if isinstance(v, np.ndarray) and len(v) == len(seq) else v)
+    # warmup (compile) on a 2-frame slice; persistent cache covers the rest
+    pm = seq[:, 0] < 2
+    warm = {k: (v[pm] if isinstance(v, np.ndarray) and len(v) == len(seq) else v)
             for k, v in seq_dict.items()}
-    warm["point_fxyz"] = seq[seq[:, 0] < 2]
+    bm = gt["gt_box_frame"] < 2
+    for k in gt:
+        warm[k] = seq_dict[k][bm]
     _ = remover(dict(warm))
 
     t0 = time.time()

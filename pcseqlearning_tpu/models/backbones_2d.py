@@ -42,7 +42,7 @@ class PointPillarScatter(nn.Module):
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
-        feats = batch_dict["pillar_features"]  # [P, C]
+        feats = batch_dict.get("pillar_features", batch_dict.get("voxel_features"))  # [P, C]
         coords = batch_dict["voxel_coords"]  # [P, 4] (b, z, y, x)
         valid = batch_dict["voxel_valid"]
         b = int(batch_dict["batch_size"])

@@ -328,7 +328,9 @@ class CenterHead(nn.Module):
                 return hm, None
 
             G = gt.shape[0]
-            hm0 = jnp.zeros((fy, fx, self.num_classes))
+            # zero-valued data dependency keeps the scan carry's sharding
+            # variance consistent under shard_map
+            hm0 = jnp.zeros((fy, fx, self.num_classes)) + gt.ravel()[0] * 0.0
             hm, _ = jax.lax.scan(draw, hm0, jnp.arange(G))
 
             K = self.max_objs

@@ -88,7 +88,7 @@ def subm_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, precision=N
         carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
         return carry, None
 
-    out0 = jnp.zeros((v, weights.shape[-1]), feats.dtype)
+    out0 = jnp.zeros((v, weights.shape[-1]), feats.dtype) + feats.ravel()[0] * 0
     out, _ = jax.lax.scan(body, out0, (idx_all, weights))
     if bias is not None:
         out = out + bias[None, :]
@@ -180,7 +180,7 @@ def sparse_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, stride=2,
         carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
         return carry, None
 
-    out0 = jnp.zeros((out_cap, weights.shape[-1]), feats.dtype)
+    out0 = jnp.zeros((out_cap, weights.shape[-1]), feats.dtype) + feats.ravel()[0] * 0
     out, _ = jax.lax.scan(body, out0, (idx_all, weights))
     if bias is not None:
         out = out + bias[None, :]
@@ -229,7 +229,7 @@ def sparse_inverse_conv3d(st: SparseTensor, target: SparseTensor, weights, bias=
         carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
         return carry, None
 
-    out0 = jnp.zeros((t_cap, weights.shape[-1]), feats.dtype)
+    out0 = jnp.zeros((t_cap, weights.shape[-1]), feats.dtype) + feats.ravel()[0] * 0
     out, _ = jax.lax.scan(body, out0, (idx_all, weights))
     if bias is not None:
         out = out + bias[None, :]
@@ -270,7 +270,7 @@ def sparse_maxpool3d(st: SparseTensor, kernel_size=3, stride=2, padding=1, out_c
         g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], neg)
         return jnp.maximum(carry, g), None
 
-    out0 = jnp.full((out_cap, feats.shape[1]), neg, feats.dtype)
+    out0 = jnp.full((out_cap, feats.shape[1]), neg, feats.dtype) + feats.ravel()[0] * 0
     out, _ = jax.lax.scan(body, out0, idx_all)
     out = jnp.where(jnp.isfinite(out), out, 0.0)
     out = _mask_features(out, out_valid)

@@ -90,7 +90,6 @@ def make_train_step(model, tx, mesh, loss_key="rpn_loss"):
         mesh=mesh,
         in_specs=(P(), batch_specs),
         out_specs=(P(), P()),
-        check_rep=False,
     )
     def sharded_grads(state, batch):
         (loss, (new_stats, losses)), grads = jax.value_and_grad(

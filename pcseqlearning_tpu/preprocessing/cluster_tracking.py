@@ -163,6 +163,126 @@ class ClusterTracking:
         self.min_move_frame = int(params.get("MIN_MOVE_FRAME", 6))
         self.component_keys = list(self.model_cfg["COMPONENT_KEYS"])
         self.max_icp_iter = int(self.model_cfg.get("MAX_ICP_ITER", 80))
+        self.device_walk = bool(self.model_cfg.get("DEVICE_WALK", True))
+
+    # ------------------------------------------------------------------
+    def track_frame(self, seq_points, frame, seq_boxes):
+        if self.device_walk:
+            return self.track_frame_device(seq_points, frame, seq_boxes)
+        return self.track_frame_host(seq_points, frame, seq_boxes)
+
+    def track_frame_device(self, seq_points, frame, seq_boxes):
+        """One-dispatch tracking walk (preprocessing/tracking_device.py):
+        builds the [W, N] frame window, runs the compiled walk, converts the
+        outputs to the extracted-points format of the host walk."""
+        from .tracking_device import track_window
+
+        num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
+        if num_components == 0:
+            return None
+        frame_id = int(frame.frame[0])
+        frames_arr = seq_points.frame
+        W = 2 * self.track_interval + 1
+
+        # window point tables (anchor at center slot = interval)
+        frame_rows = []
+        max_n = len(frame.xyz)
+        for w in range(W):
+            fid = frame_id - self.track_interval + w
+            rows = np.nonzero(frames_arr == fid)[0]
+            frame_rows.append(rows)
+            max_n = max(max_n, len(rows))
+        n_cap = bucket_size(max_n)
+        window_xyz = np.zeros((W, n_cap, 3), np.float32)
+        window_valid = np.zeros((W, n_cap), bool)
+        for w, rows in enumerate(frame_rows):
+            n = len(rows)
+            window_xyz[w, :n] = seq_points.xyz[rows]
+            window_xyz[w, n:] = 1e8
+            window_valid[w, :n] = True
+        # anchor slot uses the (component-bearing) frame table
+        anchor_slot = self.track_interval
+        na = len(frame.xyz)
+        window_xyz[anchor_slot] = 1e8
+        window_xyz[anchor_slot, :na] = frame.xyz
+        window_valid[anchor_slot] = False
+        window_valid[anchor_slot, :na] = True
+        anchor_comp = np.full(n_cap, -1, np.int32)
+        anchor_comp[:na] = frame.component
+        anchor_stat = np.zeros(n_cap, bool)
+        anchor_stat[:na] = frame.stationary
+
+        C = bucket_size(num_components, base=64)
+        deg = np.bincount(frame.component, minlength=C).astype(np.float32)[:C]
+        ctr = np.zeros((C, 3), np.float32)
+        for d in range(3):
+            ctr[:, d] = np.bincount(frame.component, weights=frame.xyz[:, d], minlength=C)[:C]
+        ctr[deg > 0] /= deg[deg > 0, None]
+        rr = np.linalg.norm(frame.xyz - ctr[frame.component], axis=-1)
+        diam = np.zeros(C, np.float32)
+        np.maximum.at(diam, frame.component, rr)
+        diam *= 2
+        comp_valid0 = (deg > 0.5) & (diam < 12.5)
+
+        levels = tuple(
+            (float(v[0]), float(v[1]), float(v[2]), float(r), float(sd))
+            for v, r, sd in zip(self.voxel_size_list, self.radius_list, self.stopping_delta)
+        )
+        out = track_window(
+            jnp.asarray(window_xyz), jnp.asarray(window_valid),
+            jnp.asarray(anchor_comp), jnp.asarray(anchor_stat),
+            jnp.asarray(comp_valid0), jnp.asarray(diam), jnp.asarray(deg),
+            num_components=C, interval=self.track_interval, levels=levels,
+            nn_radius=jnp.asarray(self.nn_radius, jnp.float32),
+            angle_regularizer=jnp.asarray(self.angle_regularizer, jnp.float32),
+            reg_error_coeff=jnp.asarray(self.reg_error_coeff, jnp.float32),
+            angle_threshold_deg=jnp.asarray(self.angle_threshold, jnp.float32),
+            min_move_frame=self.min_move_frame,
+            max_icp_iter=self.max_icp_iter,
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        valid_final = out["valid_final"][:num_components]
+        moving = out["moving"][:num_components]
+
+        # assemble extracted points: anchor members + per-frame NN extraction
+        ex_xyzf, ex_comp, ex_seg, ex_orig = [], [], [], []
+        keep_anchor = valid_final[frame.component]
+        ex_xyzf.append(np.concatenate(
+            [np.full((keep_anchor.sum(), 1), frame_id, np.float32), frame.xyz[keep_anchor]], axis=1))
+        ex_comp.append(frame.component[keep_anchor])
+        ex_seg.append(frame.segmentation_label[keep_anchor])
+        ex_orig.append(frame.original_indices[keep_anchor])
+
+        for w, rows in enumerate(frame_rows):
+            if w == anchor_slot or len(rows) == 0:
+                continue
+            src = out["extract_src"][w, : len(rows)]
+            ok = src >= 0
+            if not ok.any():
+                continue
+            comp = anchor_comp[np.clip(src, 0, n_cap - 1)]
+            ok &= (comp >= 0) & valid_final[np.clip(comp, 0, num_components - 1)]
+            fid = frame_id - self.track_interval + w
+            sel = np.nonzero(ok)[0]
+            ex_xyzf.append(np.concatenate(
+                [np.full((len(sel), 1), fid, np.float32), seq_points.xyz[rows[sel]]], axis=1))
+            ex_comp.append(comp[sel])
+            ex_seg.append(seq_points.segmentation_label[rows[sel]])
+            ex_orig.append(rows[sel])
+
+        extracted = EDict(
+            fxyz=np.concatenate(ex_xyzf, axis=0),
+            component=np.concatenate(ex_comp, axis=0),
+            segmentation_label=np.concatenate(ex_seg, axis=0),
+            original_indices=np.concatenate(ex_orig, axis=0),
+        )
+        extracted.moving = (
+            moving[extracted.component] if len(extracted.component) else np.zeros(0, bool)
+        )
+        extracted.transforms = out["transforms"][:num_components]
+        extracted.reg_errors = out["reg_errors"][:num_components]
+        extracted.comp_edge_ratios = out["edge_ratios"][:num_components]
+        return extracted
 
     # ------------------------------------------------------------------
     def _sample_frame(self, frame, voxel_size):
@@ -217,9 +337,9 @@ class ClusterTracking:
         )
 
     # ------------------------------------------------------------------
-    def track_frame(self, seq_points, frame, seq_boxes):
-        """Track the components of one frame across +-track_interval frames
-        (reference track_frame, cluster_tracking.py:430-787)."""
+    def track_frame_host(self, seq_points, frame, seq_boxes):
+        """Host-loop walk (reference-shaped; one dispatch per kernel). Kept as
+        the readable fallback; the device walk below is the fast path."""
         num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
         if num_components == 0:
             return None
@@ -337,7 +457,7 @@ class ClusterTracking:
                 sm = _smooth_velo_kernel(
                     jnp.asarray(comp_velos), jnp.asarray(comp_center_diffs), jnp.asarray(span), F
                 )
-                comp_velos = np.asarray(sm)
+                comp_velos = np.array(sm)  # np.asarray of a jax array is read-only
                 delta_velo = comp_velos[:, next_frame_id] - comp_velo
                 comp_velo = comp_velos[:, next_frame_id]
                 cur.xyz = cur.xyz + delta_velo[cur.component] * track_dir

@@ -336,9 +336,23 @@ class GroundPlaneRemover:
 
     def _solve(self, point_fxyz, warmup=None):
         cfg = self.model_cfg
-        # frame-agnostic 10cm grid subsample (preprocessor_utils.py:369)
+        # frame-agnostic 10cm grid subsample (preprocessor_utils.py:369).
+        # Size the voxel table to the OCCUPIED count (host numpy unique is
+        # cheap) instead of N — the RANSAC/IRLS loops run segment ops over
+        # this capacity ~1500 times, so a tight table is the difference
+        # between HBM-bound and compute-bound.
+        pts_np = np.asarray(point_fxyz)
+        coords_np = np.floor(
+            (pts_np[:, 1:4] - pts_np[:, 1:4].min(0)) / np.array([0.10, 0.10, 0.03])
+        ).astype(np.int64)
+        n_occ = len(np.unique(
+            (coords_np[:, 0] << 42) + (coords_np[:, 1] << 21) + coords_np[:, 2]
+        ))
+        from ..utils.padding import bucket_size
+
+        vox_cap = bucket_size(n_occ, base=4096)
         fxyz0 = jnp.concatenate([jnp.zeros_like(point_fxyz[:, :1]), point_fxyz[:, 1:]], axis=1)
-        vox = grid_utils.grid_sample_mean(fxyz0, [0.10, 0.10, 0.03])
+        vox = grid_utils.grid_sample_mean(fxyz0, [0.10, 0.10, 0.03], num_voxels_cap=min(vox_cap, pts_np.shape[0]))
         vox_bxyz, vox_valid, inverse = vox["bxyz"], vox["valid"], vox["inverse"]
 
         xy = np.asarray(point_fxyz[:, 1:3])

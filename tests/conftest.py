@@ -1,12 +1,25 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding tests run anywhere (SURVEY.md §4 test strategy)."""
+sharding tests run anywhere (SURVEY.md §4 test strategy).
+
+This image's sitecustomize registers the axon TPU plugin at interpreter
+startup and forces jax_platforms="axon,cpu" — setting JAX_PLATFORMS in the
+environment is NOT enough. Overriding via jax.config after import works
+because no backend client exists yet at conftest time."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the image presets JAX_PLATFORMS=axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -66,7 +66,8 @@ def test_ground_removal(seq_dict, tmp_path):
     assert "ground_coverage" in txt and "foreground_precision" in txt
 
 
-def test_cluster_proposal_and_tracking(seq_dict, tmp_path):
+@pytest.mark.parametrize("device_walk", [False, True])
+def test_cluster_proposal_and_tracking(seq_dict, tmp_path, device_walk):
     from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
     from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking
 
@@ -103,8 +104,8 @@ def test_cluster_proposal_and_tracking(seq_dict, tmp_path):
     f0 = d["point_sweep"] == 0
     seg0 = d["segmentation_label"][f0]
     c0 = comp[f0]
-    a_comps = set(c0[(seg0 == 1)][:100].tolist())
-    assert len(a_comps) >= 2  # two clusters => at least two components
+    cluster_comps = set(c0[(seg0 == 1)].tolist())  # clusters A and B
+    assert len(cluster_comps) >= 2  # two spatially separated clusters
     # proposals score well against GT boxes
     assert d["gt_box_best_iou"].max() > 0.8
 
@@ -123,6 +124,7 @@ def test_cluster_proposal_and_tracking(seq_dict, tmp_path):
         TRACKING_PARAMS=EDict(REGISTRATION_ERROR_COEFFICIENT=0.5, TRACK_INTERVAL=3,
                               ANGLE_THRESHOLD=45, MIN_MOVE_FRAME=2),
         MAX_ICP_ITER=10,
+        DEVICE_WALK=device_walk,
     ))
     d["full_point_fxyz"] = seq_dict["point_fxyz"]
     d["full_point_sweep"] = seq_dict["point_sweep"]
