@@ -124,8 +124,14 @@ def eigh3x3(A):
     v1 = _cross(v2, v0)
     v1, _ = _normalize(v1)
 
-    vals = jnp.stack([lam0, lam1, lam2], axis=-1)
     vecs = jnp.stack([v0, v1, v2], axis=-1)  # columns
+    # Rayleigh-quotient refinement: Cardano roots of (near-)repeated
+    # eigenvalues carry O(sqrt(eps)) error in f32, but v^T A v is exact for
+    # any unit vector in the (well-conditioned) eigenspace.
+    Av = jnp.einsum("...ij,...jk->...ik", A, vecs, precision=_HI)
+    vals = jnp.einsum("...ik,...ik->...k", vecs, Av, precision=_HI)
+    # keep ascending order (refinement can perturb ties)
+    vals = jnp.sort(vals, axis=-1)
     return vals, vecs
 
 

@@ -134,10 +134,21 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
 
     ref_pos = grid.ref_fxyz
 
+    # probe hashes for all 27 offsets up front and keep only the FIRST
+    # occurrence of each hash per query: two offsets whose cells collide
+    # would otherwise scan the same run twice, and the duplicate candidates
+    # evict real neighbors from the top-K (the reference CUDA kernel compares
+    # exact keys, torch_hash_kernel.cu:362, so it never duplicates).
+    h_all = jax.vmap(lambda off: _hash_cells(qcells + off[None, :]))(_OFFSETS)  # [27, M]
+    n_off = _OFFSETS.shape[0]
+    dup = jnp.zeros((n_off, m), dtype=bool)
+    for o in range(1, n_off):
+        dup = dup.at[o].set(jnp.any(h_all[:o] == h_all[o][None, :], axis=0))
+    first_occ = ~dup
+
     def body(o, carry):
         best_d, best_i = carry
-        off = _OFFSETS[o]
-        h_q = _hash_cells(qcells + off[None, :])
+        h_q = h_all[o]
         start = jnp.searchsorted(grid.sorted_hash, h_q, side="left").astype(jnp.int32)
         slots = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]  # [M, cap]
         in_range = slots < n
@@ -148,7 +159,7 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
         cand_valid_ref = grid.ref_valid[cand_ref]
         diff = ref_pos[cand_ref] - qpos[:, None, :]  # [M, cap, 4]
         d2 = jnp.sum(diff * diff, axis=-1)
-        valid = valid & cand_valid_ref & (d2 <= r2)
+        valid = valid & cand_valid_ref & (d2 <= r2) & first_occ[o][:, None]
         d2 = jnp.where(valid, d2, big)
         cand_ref = jnp.where(valid, cand_ref, -1)
 

@@ -94,3 +94,27 @@ def train_model(train_step, state, loader, batch_converter, total_epochs, ckpt_d
             if logger:
                 logger.info(f"saved checkpoint: {path}")
     return state
+
+
+# ---------------------------------------------------------------------------
+# EMA (reference train_utils.py:201-220 ema sub-dict;
+# registration_module_template.py:181-206 multi-ckpt EMA merge)
+# ---------------------------------------------------------------------------
+
+
+def ema_update(ema_params, params, decay=0.999):
+    """Exponential moving average of a parameter pytree."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params
+    )
+
+
+def load_ema_params_from_files(paths, target_state):
+    """Average the params of several checkpoints (reference
+    load_ema_params_from_files): returns target_state with mean params."""
+    states = [load_checkpoint(p, target_state) for p in paths]
+    n = float(len(states))
+    mean_params = jax.tree_util.tree_map(
+        lambda *xs: sum(xs) / n, *[s.params for s in states]
+    )
+    return states[-1]._replace(params=mean_params)
