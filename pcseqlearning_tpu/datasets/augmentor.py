@@ -1,9 +1,9 @@
-"""Data augmentation: global flip / rotation / scaling / translation.
+"""Data augmentation: global flip / rotation / scaling / translation and
+GT-database paste sampling.
 
 Rewrites of /root/reference/pcdet/datasets/augmentor/data_augmentor.py:66-221
-(the geometric transforms used by the shipped Waymo configs). GT-database
-paste augmentation (database_sampler.py) is host-side and data-dependent;
-provided as a stub registry entry until the GT database tooling lands.
+and database_sampler.py:312 (gt_sampling); the database itself is built by
+tools/create_gt_database.py.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ def _rotate_z(pts, angle):
 class DataAugmentor:
     def __init__(self, augmentor_configs, class_names=None, root_path=None, logger=None):
         self.class_names = class_names
+        self.root_path = root_path
         cfg_list = (
             augmentor_configs["AUG_CONFIG_LIST"]
             if isinstance(augmentor_configs, dict)
@@ -98,11 +99,15 @@ class DataAugmentor:
         return data_dict
 
     def gt_sampling(self, data_dict=None, config=None):
-        """GT-database paste augmentation — no-op until a database is built
-        (reference augmentor/database_sampler.py)."""
+        """GT-database paste augmentation (reference
+        augmentor/database_sampler.py): sample up to SAMPLE_GROUPS objects
+        per class from the dbinfos pkl, reject BEV collisions against
+        existing + already-pasted boxes, paste crops translated back to
+        their boxes. Database built by tools/create_gt_database.py."""
         if data_dict is None:
+            self._db_sampler = _DatabaseSampler(config, self.root_path)
             return lambda d: self.gt_sampling(d, config)
-        return data_dict
+        return self._db_sampler(data_dict)
 
     def forward(self, data_dict):
         for aug in self.queue:
@@ -110,3 +115,75 @@ class DataAugmentor:
         return data_dict
 
     __call__ = forward
+
+
+class _DatabaseSampler:
+    """GT paste sampler (reference augmentor/database_sampler.py:312)."""
+
+    def __init__(self, config, root_path=None):
+        import pickle
+        from pathlib import Path
+
+        self.cfg = EDict(config)
+        self.root = Path(root_path or ".")
+        self.db_infos = {}
+        db_path = self.root / self.cfg.get("DB_INFO_PATH", "waymo_dbinfos_train.pkl")
+        if db_path.exists():
+            with open(db_path, "rb") as f:
+                infos = pickle.load(f)
+            min_pts = int(self.cfg.get("MIN_POINTS", 5))
+            self.db_infos = {
+                k: [x for x in v if x["num_points_in_gt"] >= min_pts]
+                for k, v in infos.items()
+            }
+        # "Vehicle:15" style group specs
+        self.groups = {}
+        for spec in self.cfg.get("SAMPLE_GROUPS", []):
+            name, num = str(spec).split(":")
+            self.groups[name] = int(num)
+
+    def __call__(self, data_dict):
+        from ..utils.box_utils import boxes3d_nearest_bev_iou
+
+        if not self.db_infos:
+            return data_dict
+        existing = data_dict.get("gt_boxes", np.zeros((0, 7), np.float32))[:, :7]
+        names = list(data_dict.get("gt_names", []))
+        new_pts, new_boxes, new_names = [], [], []
+        for cls, want in self.groups.items():
+            pool = self.db_infos.get(cls, [])
+            have = sum(1 for n in names if n == cls)
+            need = max(want - have, 0)
+            if need == 0 or not pool:
+                continue
+            picks = np.random.choice(len(pool), min(need, len(pool)), replace=False)
+            for p in picks:
+                info = pool[p]
+                box = np.asarray(info["box3d_lidar"], np.float32)[:7]
+                all_boxes = np.concatenate(
+                    [existing] + ([np.stack(new_boxes)] if new_boxes else []), axis=0
+                ) if len(existing) or new_boxes else np.zeros((0, 7), np.float32)
+                if len(all_boxes):
+                    iou = boxes3d_nearest_bev_iou(box[None], all_boxes)
+                    if iou.max() > 0.0:
+                        continue
+                path = self.root / info["path"]
+                if not path.exists():
+                    continue
+                nf = int(info.get("num_features", 8))
+                pts = np.fromfile(path, np.float32).reshape(-1, nf)
+                pts = pts.copy()
+                pts[:, :3] += box[:3]
+                new_pts.append(pts)
+                new_boxes.append(box)
+                new_names.append(cls)
+        if new_boxes:
+            nb = np.stack(new_boxes)
+            data_dict["gt_boxes"] = np.concatenate([existing, nb], axis=0)
+            data_dict["gt_names"] = np.asarray(names + new_names)
+            c = data_dict["points"].shape[1]
+            add = np.concatenate(new_pts, axis=0)[:, :c]
+            if add.shape[1] < c:
+                add = np.pad(add, ((0, 0), (0, c - add.shape[1])))
+            data_dict["points"] = np.concatenate([data_dict["points"], add.astype(np.float32)], axis=0)
+        return data_dict

@@ -102,6 +102,10 @@ _OFFSETS = jnp.array(
     dtype=jnp.int32,
 )
 
+# candidate-slot budget above which radius_neighbors streams offsets instead
+# of materializing the full [M, 27*cap] candidate table (~32M slots ~ 256MB)
+_VECTORIZE_MAX_SLOTS = 1 << 25
+
 
 @functools.partial(jax.jit, static_argnames=("k", "cell_cap"))
 def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, cell_cap=48):
@@ -146,31 +150,60 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
         dup = dup.at[o].set(jnp.any(h_all[:o] == h_all[o][None, :], axis=0))
     first_occ = ~dup
 
-    def body(o, carry):
-        best_d, best_i = carry
-        h_q = h_all[o]
-        start = jnp.searchsorted(grid.sorted_hash, h_q, side="left").astype(jnp.int32)
-        slots = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]  # [M, cap]
+    # Two schedules for the candidate scan (identical semantics):
+    #  * vectorized: all 27 offsets' candidates materialize as one
+    #    [M, 27*cap] table and a single top_k ranks them — 27x fewer
+    #    sequential dependencies, the right trade below ~32k queries where
+    #    the table fits comfortably in HBM (latency-bound regime: ICP loops).
+    #  * streamed: fori_loop over offsets with a running top-K merge —
+    #    bounded memory for million-point proposal sweeps.
+    if m * n_off * cell_cap <= _VECTORIZE_MAX_SLOTS:
+        start = jnp.searchsorted(grid.sorted_hash, h_all.reshape(-1), side="left").astype(jnp.int32)
+        start = start.reshape(n_off, m)
+        slots = start[:, :, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, None, :]
         in_range = slots < n
         slots_c = jnp.minimum(slots, n - 1)
         cand_h = grid.sorted_hash[slots_c]
-        valid = in_range & (cand_h == h_q[:, None])
-        cand_ref = grid.sorted_idx[slots_c]  # [M, cap]
-        cand_valid_ref = grid.ref_valid[cand_ref]
-        diff = ref_pos[cand_ref] - qpos[:, None, :]  # [M, cap, 4]
+        valid = in_range & (cand_h == h_all[:, :, None]) & first_occ[:, :, None]
+        cand_ref = grid.sorted_idx[slots_c]  # [27, M, cap]
+        valid = valid & grid.ref_valid[cand_ref]
+        diff = ref_pos[cand_ref] - qpos[None, :, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
-        valid = valid & cand_valid_ref & (d2 <= r2) & first_occ[o][:, None]
+        valid = valid & (d2 <= r2)
         d2 = jnp.where(valid, d2, big)
         cand_ref = jnp.where(valid, cand_ref, -1)
-
-        merged_d = jnp.concatenate([best_d, d2], axis=1)  # [M, K+cap]
-        merged_i = jnp.concatenate([best_i, cand_ref], axis=1)
-        neg_top, top_pos = jax.lax.top_k(-merged_d, k)
+        d2 = jnp.transpose(d2, (1, 0, 2)).reshape(m, n_off * cell_cap)
+        cand_ref = jnp.transpose(cand_ref, (1, 0, 2)).reshape(m, n_off * cell_cap)
+        neg_top, top_pos = jax.lax.top_k(-d2, k)
         best_d = -neg_top
-        best_i = jnp.take_along_axis(merged_i, top_pos, axis=1)
-        return best_d, best_i
+        best_i = jnp.take_along_axis(cand_ref, top_pos, axis=1)
+    else:
+        def body(o, carry):
+            best_d, best_i = carry
+            h_q = h_all[o]
+            start = jnp.searchsorted(grid.sorted_hash, h_q, side="left").astype(jnp.int32)
+            slots = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]  # [M, cap]
+            in_range = slots < n
+            slots_c = jnp.minimum(slots, n - 1)
+            cand_h = grid.sorted_hash[slots_c]
+            valid = in_range & (cand_h == h_q[:, None])
+            cand_ref = grid.sorted_idx[slots_c]  # [M, cap]
+            cand_valid_ref = grid.ref_valid[cand_ref]
+            diff = ref_pos[cand_ref] - qpos[:, None, :]  # [M, cap, 4]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            valid = valid & cand_valid_ref & (d2 <= r2) & first_occ[o][:, None]
+            d2 = jnp.where(valid, d2, big)
+            cand_ref = jnp.where(valid, cand_ref, -1)
 
-    best_d, best_i = jax.lax.fori_loop(0, _OFFSETS.shape[0], body, (best_d, best_i))
+            merged_d = jnp.concatenate([best_d, d2], axis=1)  # [M, K+cap]
+            merged_i = jnp.concatenate([best_i, cand_ref], axis=1)
+            neg_top, top_pos = jax.lax.top_k(-merged_d, k)
+            best_d = -neg_top
+            best_i = jnp.take_along_axis(merged_i, top_pos, axis=1)
+            return best_d, best_i
+
+        best_d, best_i = jax.lax.fori_loop(0, n_off, body, (best_d, best_i))
+
     mask = jnp.isfinite(best_d) & query_valid[:, None]
     best_i = jnp.where(mask, best_i, -1)
     best_d = jnp.where(mask, best_d, big)

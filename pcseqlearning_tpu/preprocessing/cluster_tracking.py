@@ -175,7 +175,7 @@ class ClusterTracking:
         """One-dispatch tracking walk (preprocessing/tracking_device.py):
         builds the [W, N] frame window, runs the compiled walk, converts the
         outputs to the extracted-points format of the host walk."""
-        from .tracking_device import track_window
+        from .tracking_device import track_window, track_window_stepped
 
         num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
         if num_components == 0:
@@ -228,7 +228,9 @@ class ClusterTracking:
             (float(v[0]), float(v[1]), float(v[2]), float(r), float(sd))
             for v, r, sd in zip(self.voxel_size_list, self.radius_list, self.stopping_delta)
         )
-        out = track_window(
+        walk_mode = str(self.model_cfg.get("WALK_MODE", "stepped"))
+        walk_fn = track_window if walk_mode == "full" else track_window_stepped
+        out = walk_fn(
             jnp.asarray(window_xyz), jnp.asarray(window_valid),
             jnp.asarray(anchor_comp), jnp.asarray(anchor_stat),
             jnp.asarray(comp_valid0), jnp.asarray(diam), jnp.asarray(deg),

@@ -163,3 +163,25 @@ def test_cc_padded_nodes(rng):
     assert int(num) == 1
     assert np.all(comp[:10] == 0)
     assert np.all(comp[10:] == -1)
+
+
+def test_radius_graph_schedules_agree(rng, monkeypatch):
+    """The vectorized and streamed candidate scans must produce identical
+    neighbor sets."""
+    from pcseqlearning_tpu.ops import hash_graph as hg2
+
+    n, m = 300, 200
+    ref = rng.rand(n, 4).astype(np.float32) * 3
+    ref[:, 0] = 0
+    query = rng.rand(m, 4).astype(np.float32) * 3
+    query[:, 0] = 0
+    a = hg2.radius_graph(jnp.asarray(ref), jnp.asarray(query), 0.4, 8, cell_cap=48)
+    monkeypatch.setattr(hg2, "_VECTORIZE_MAX_SLOTS", 0)
+    hg2.radius_neighbors._clear_cache()
+    b = hg2.radius_graph(jnp.asarray(ref), jnp.asarray(query), 0.4, 8, cell_cap=48)
+    monkeypatch.undo()
+    hg2.radius_neighbors._clear_cache()
+    for i in range(m):
+        sa = set(np.asarray(a[0])[i][np.asarray(a[2])[i]].tolist())
+        sb = set(np.asarray(b[0])[i][np.asarray(b[2])[i]].tolist())
+        assert sa == sb, i
