@@ -134,3 +134,92 @@ VFES = {
     "DynPillarVFE": DynPillarVFE,
     "DynamicPillarVFE": DynPillarVFE,
 }
+
+
+class DynamicVFE(nn.Module):
+    """Per-point MLP + voxel mean&max fusion (reference dynamic_vfe.py):
+    point features concat [xyz offsets to voxel mean] -> MLP -> per-voxel
+    max, iterated twice with re-broadcast."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    voxel_cap: int
+    num_filters: Sequence[int] = (64, 128)
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        points = batch_dict["point_bxyz"]
+        feats = batch_dict["point_feat"]
+        n = points.shape[0]
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        pc_min = jnp.asarray(self.point_cloud_range[:3], points.dtype)
+        pc_max = jnp.asarray(self.point_cloud_range[3:], points.dtype)
+        inside = jnp.all((points[:, 1:4] >= pc_min) & (points[:, 1:4] < pc_max), axis=-1)
+        valid = valid & inside
+        pts = jnp.where(valid[:, None], points, 1e8)
+        coords, _, vvalid, inverse = grid_utils.dynamic_voxelize(
+            pts, feats, self.voxel_size, pc_min, self.voxel_cap
+        )
+        cap = self.voxel_cap
+        inv_safe = jnp.where(valid, inverse, cap)
+        mean_xyz = segment_ops.segment_mean(points[:, 1:4], inv_safe, cap + 1)[:cap]
+        x = jnp.concatenate(
+            [points[:, 1:4], feats, points[:, 1:4] - mean_xyz[jnp.clip(inverse, 0, cap - 1)]],
+            axis=-1,
+        )
+        for i, nf in enumerate(self.num_filters):
+            x = nn.Dense(nf, use_bias=False)(x)
+            x = MaskedBatchNorm()(x, valid, train)
+            x = nn.relu(x)
+            vmax = segment_ops.segment_max_or(
+                jnp.where(valid[:, None], x, -jnp.inf), inv_safe, cap + 1, 0.0
+            )[:cap]
+            if i + 1 < len(self.num_filters):
+                x = jnp.concatenate([x, vmax[jnp.clip(inverse, 0, cap - 1)]], axis=-1)
+        batch_dict["voxel_features"] = jnp.where(vvalid[:, None], vmax, 0.0)
+        batch_dict["voxel_coords"] = jnp.where(vvalid[:, None], coords, -1)
+        batch_dict["voxel_valid"] = vvalid
+        batch_dict["point_voxel_inverse"] = inverse
+        return batch_dict
+
+
+class PlaneFittingVFE(nn.Module):
+    """RANSAC/IRLS plane-fit voxel features (reference vfe/plane_fitting.py +
+    hybrid_vfe.py): per-voxel plane normal, eigenvalues, fit error appended
+    to the mean features — built on ops/primitives.primitive_fitting."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    voxel_cap: int
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        from ..ops.primitives import primitive_fitting
+
+        points = batch_dict["point_bxyz"]
+        feats = batch_dict["point_feat"]
+        n = points.shape[0]
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        pc_min = jnp.asarray(self.point_cloud_range[:3], points.dtype)
+        pts = jnp.where(valid[:, None], points, 1e8)
+        coords, vfeat, vvalid, inverse = grid_utils.dynamic_voxelize(
+            pts, jnp.concatenate([points[:, 1:4], feats], -1), self.voxel_size, pc_min, self.voxel_cap
+        )
+        fit = primitive_fitting(pts, valid, self.voxel_size, self.voxel_cap)
+        geo_feat = jnp.concatenate(
+            [fit["normals"], fit["eigvals"],
+             fit["weight_sum"][:, None]], axis=-1,
+        )
+        batch_dict["voxel_features"] = jnp.where(
+            vvalid[:, None], jnp.concatenate([vfeat, geo_feat], axis=-1), 0.0
+        )
+        batch_dict["voxel_coords"] = jnp.where(vvalid[:, None], coords, -1)
+        batch_dict["voxel_valid"] = vvalid
+        batch_dict["voxel_normals"] = fit["normals"]
+        batch_dict["voxel_eigvals"] = fit["eigvals"]
+        return batch_dict
+
+
+VFES["DynamicVFE"] = DynamicVFE
+VFES["PlaneFitting"] = PlaneFittingVFE
+VFES["HybridVFE"] = PlaneFittingVFE
