@@ -58,11 +58,37 @@ class Detector3DTemplate(nn.Module):
             raise KeyError(name)
 
         # 3D backbone (pillar models skip it)
+        self.backbone_is_sparse = True
         if "BACKBONE_3D" in cfg:
             b3d = cfg["BACKBONE_3D"]
-            self.backbone_3d = BACKBONES_3D[b3d["NAME"]](
-                input_channels=0, grid_size=self.grid_size,
-            )
+            name3d = b3d["NAME"]
+            if name3d in BACKBONES_3D:
+                self.backbone_3d = BACKBONES_3D[name3d](
+                    input_channels=0, grid_size=self.grid_size,
+                )
+            elif name3d == "UNetV2":
+                from .backbones_unet import UNetV2
+
+                self.backbone_3d = UNetV2(input_channels=0, grid_size=self.grid_size)
+            elif name3d in ("SST", "SSTBackbone"):
+                from .backbones_sst import SSTBackbone
+
+                self.backbone_3d = SSTBackbone(
+                    dim=int(b3d.get("DIM", 128)),
+                    num_blocks=int(b3d.get("NUM_BLOCKS", 4)),
+                    window_size=int(b3d.get("WINDOW_SIZE", 12)),
+                    grid_size=(self.grid_size[0], self.grid_size[1]),
+                    num_windows_cap=int(b3d.get("NUM_WINDOWS_CAP", 2048)),
+                    window_cap=int(b3d.get("WINDOW_CAP", 144)),
+                )
+                self.backbone_is_sparse = False  # stays a pillar table
+            elif name3d in ("PointNet2MSG", "PointNet2Backbone"):
+                from .backbones_point import PointNet2MSG
+
+                self.backbone_3d = PointNet2MSG()
+                self.backbone_is_sparse = False
+            else:
+                raise KeyError(name3d)
         else:
             self.backbone_3d = None
 
@@ -113,7 +139,7 @@ class Detector3DTemplate(nn.Module):
             self.roi_head = None
 
         head_cfg = cfg["DENSE_HEAD"]
-        stride = 8 if self.backbone_3d is not None else 1
+        stride = 8 if (self.backbone_3d is not None and self.backbone_is_sparse) else 1
         if head_cfg["NAME"] == "CenterHead":
             self.dense_head = CenterHeadWrap(
                 num_classes=self.num_classes,

@@ -124,49 +124,90 @@ def iterative_reweighted_ransac(point_xyz, pidx, w0, num_pillars, sigma2, num_it
 # ---------------------------------------------------------------------------
 
 
-def ransac_min_height(vox_bxyz, vox_valid, points, pillars, pillar_dims, cfg_sigma2, cfg_k, window_size=4):
+def _coarse_tables(vox_bxyz, vox_valid, points, pillar_dims, window_size, NP, NY):
+    new_coords = points.pillar_coords // window_size
+    new_pidx = new_coords[:, 0] * NY + new_coords[:, 1]
+    new_pidx = jnp.where(vox_valid, new_pidx, NP)
+    z = vox_bxyz[:, 3]
+    n_min_z = segment_ops.segment_min_or(z, new_pidx, NP, 0.0)
+    n_max_z = segment_ops.segment_max_or(z, new_pidx, NP, 0.0)
+    return new_pidx, n_min_z, n_max_z
+
+
+def _ransac_one_ratio(vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, ratio,
+                      carry, NP, sigma2):
+    """One height-ratio hypothesis: IRLS plane fit per coarse pillar +
+    best-by-inlier-count update (the body of the reference's 30-ratio sweep,
+    preprocessor_utils.py:147-170)."""
+    best_conf, best_normal, best_center = carry
+    cur_z = n_min_z * ratio + n_max_z * (1.0 - ratio)
+    z_diff = cur_z[new_pidx] - z
+    w0 = sigma2 / (z_diff * z_diff + sigma2)
+    w, center, normal, err = iterative_reweighted_ransac(
+        vox_xyz, new_pidx, w0.reshape(-1, 1), NP, sigma2
+    )
+    hit = (err < sigma2 ** 0.5) & vox_valid
+    num_hit = segment_ops.segment_count(new_pidx, NP, weights=hit.astype(z.dtype))
+    upd = best_conf < num_hit
+    best_normal = jnp.where(upd[:, None], normal, best_normal)
+    best_center = jnp.where(upd[:, None], center, best_center)
+    best_conf = jnp.where(upd, num_hit, best_conf)
+    return best_conf, best_normal, best_center
+
+
+_ransac_one_ratio_jit = jax.jit(_ransac_one_ratio, static_argnames=("NP", "sigma2"))
+
+
+def ransac_min_height(vox_bxyz, vox_valid, points, pillars, pillar_dims, cfg_sigma2, cfg_k,
+                      window_size=4, host_sweep=False):
     """Estimate a best-fit ground plane per coarse pillar, TLS-filter the
     plane set, propagate to fine pillars, and return per-fine-pillar min_z.
+
+    ``host_sweep=True`` drives the 30-ratio loop from host with one compiled
+    step (the fused fori variant trips TPU kernel faults on large voxel
+    tables — same failure class as the fused tracking walk).
     """
     X, Y = pillar_dims
     P = X * Y
     NX, NY = (X + window_size - 1) // window_size, (Y + window_size - 1) // window_size
     NP = NX * NY
 
-    new_coords = points.pillar_coords // window_size
-    new_pidx = new_coords[:, 0] * NY + new_coords[:, 1]
-    new_pidx = jnp.where(vox_valid, new_pidx, NP)
-
+    new_pidx, n_min_z, n_max_z = _coarse_tables(
+        vox_bxyz, vox_valid, points, pillar_dims, window_size, NP, NY
+    )
     z = vox_bxyz[:, 3]
-    n_min_z = segment_ops.segment_min_or(z, new_pidx, NP, 0.0)
-    n_max_z = segment_ops.segment_max_or(z, new_pidx, NP, 0.0)
-
     vox_xyz = vox_bxyz[:, 1:4]
-
-    def ratio_body(i, carry):
-        best_conf, best_normal, best_center = carry
-        ratio = 0.3 + 0.7 * i / 29.0
-        cur_z = n_min_z * ratio + n_max_z * (1.0 - ratio)
-        z_diff = cur_z[new_pidx] - z
-        w0 = cfg_sigma2 / (z_diff * z_diff + cfg_sigma2)
-        w, center, normal, err = iterative_reweighted_ransac(
-            vox_xyz, new_pidx, w0.reshape(-1, 1), NP, cfg_sigma2
-        )
-        hit = (err < cfg_sigma2 ** 0.5) & vox_valid
-        num_hit = segment_ops.segment_count(new_pidx, NP, weights=hit.astype(z.dtype))
-        upd = best_conf < num_hit
-        best_normal = jnp.where(upd[:, None], normal, best_normal)
-        best_center = jnp.where(upd[:, None], center, best_center)
-        best_conf = jnp.where(upd, num_hit, best_conf)
-        return best_conf, best_normal, best_center
 
     best_conf = jnp.zeros((NP,), z.dtype)
     best_normal = jnp.zeros((NP, 3), z.dtype).at[:, 2].set(1.0)
     best_center = jnp.zeros((NP, 3), z.dtype)
-    best_conf, best_normal, best_center = jax.lax.fori_loop(
-        0, 30, ratio_body, (best_conf, best_normal, best_center)
+    carry = (best_conf, best_normal, best_center)
+    if host_sweep:
+        for i in range(30):
+            carry = _ransac_one_ratio_jit(
+                vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z,
+                jnp.asarray(0.3 + 0.7 * i / 29.0, z.dtype), carry,
+                NP=NP, sigma2=float(cfg_sigma2),
+            )
+    else:
+        def ratio_body(i, carry):
+            ratio = 0.3 + 0.7 * i / 29.0
+            return _ransac_one_ratio(
+                vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, ratio,
+                carry, NP, cfg_sigma2,
+            )
+
+        carry = jax.lax.fori_loop(0, 30, ratio_body, carry)
+    best_conf, best_normal, best_center = carry
+    return _tls_propagate_heights(
+        best_conf, best_normal, best_center, pillars.xyz, points.pillar_idx,
+        vox_xyz, z, vox_valid, P, int(cfg_k),
     )
 
+
+@functools.partial(jax.jit, static_argnames=("P", "cfg_k"))
+def _tls_propagate_heights(best_conf, best_normal, best_center, pillars_xyz,
+                           pillar_idx, vox_xyz, z, vox_valid, P, cfg_k):
     # ---------------- Truncated Least Squares filter (179-192) -------------
     # keep a validity mask over coarse-pillar plane hypotheses; thresholds
     # sweep log-space from 5 to 0.01 in 100 steps; each step recomputes kNN
@@ -194,7 +235,7 @@ def ransac_min_height(vox_bxyz, vox_valid, points, pillars, pillar_dims, cfg_sig
     # the reference loops surviving centers sequentially, keeping the max of
     # conf/(dist+1); with conf[:]=1 this is a pure argmax over centers.
     dist = jnp.linalg.norm(
-        pillars.xyz[:, None, :2] - best_center[None, :, :2], axis=-1
+        pillars_xyz[:, None, :2] - best_center[None, :, :2], axis=-1
     )  # [P, NP]
     conf_ind = 1.0 / (dist + 1.0)
     conf_ind = jnp.where(tls_valid[None, :], conf_ind, -jnp.inf)
@@ -203,13 +244,13 @@ def ransac_min_height(vox_bxyz, vox_valid, points, pillars, pillar_dims, cfg_sig
     fine_center = best_center[sel]
 
     # ---------------- per-point height vs selected plane (238-254) ---------
-    vn = fine_normal[points.pillar_idx.clip(0, P - 1)]
-    vc = fine_center[points.pillar_idx.clip(0, P - 1)]
+    vn = fine_normal[pillar_idx.clip(0, P - 1)]
+    vc = fine_center[pillar_idx.clip(0, P - 1)]
     vdiff = vox_xyz - vc
     vnz = jnp.clip(jnp.abs(vn[:, 2]), 0.01, None) * ((vn[:, 2] >= 0).astype(z.dtype) + 1.0) / 2.0
     vheight = jnp.sum(vdiff * vn, axis=-1) / vnz
 
-    pidx_safe = jnp.where(vox_valid, points.pillar_idx, P)
+    pidx_safe = jnp.where(vox_valid, pillar_idx, P)
     min_z = segment_ops.segment_mean(z - vheight, pidx_safe, P)
     return min_z, fine_normal, fine_center
 
@@ -323,6 +364,65 @@ def ground_plane_solve(
     )
 
 
+def ground_plane_solve_stepped(
+    vox_bxyz, vox_valid, pc_range_min, pillar_dims,
+    pillar_size=(2.0, 2.0), use_ransac=True, joint_opt=True,
+    lr=0.01, decay_steps=(1600,), rigid_weight=0.5, max_iters=10000,
+    sigma2=0.0025, tls_k=8,
+):
+    """Host-driven variant of ground_plane_solve: the 30-ratio RANSAC sweep
+    is 30 calls of one compiled step, TLS/propagation and the L1 height
+    field are their own programs. Identical outputs; avoids the giant fused
+    program that faults the TPU runtime at large voxel counts."""
+    points, pillars = _format_pillars_jit(
+        vox_bxyz, vox_valid, pc_range_min, pillar_dims, pillar_size
+    )
+    points, pillars = EDict(points), EDict(pillars)
+    if use_ransac:
+        min_z, _, _ = ransac_min_height(
+            vox_bxyz, vox_valid, points, pillars, pillar_dims, sigma2, tls_k,
+            host_sweep=True,
+        )
+        pillars = EDict(pillars)
+        pillars.min_z = min_z
+    if joint_opt:
+        height = _l1_jit(
+            pillars.min_z, pillars.weight, pillar_dims, lr, tuple(decay_steps),
+            rigid_weight, max_iters,
+        ).reshape(-1)
+    else:
+        height = pillars.min_z
+    return _solve_outputs_jit(vox_bxyz, points.pillar_idx, pillars.min_z, height)
+
+
+@functools.partial(jax.jit, static_argnames=("pillar_dims", "pillar_size"))
+def _format_pillars_jit(vox_bxyz, vox_valid, pc_range_min, pillar_dims, pillar_size):
+    points, pillars = format_pillars(vox_bxyz, vox_valid, pillar_size, pc_range_min, pillar_dims)
+    return dict(points), dict(pillars)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pillar_dims", "lr", "decay_steps", "rigid_weight", "max_iters")
+)
+def _l1_jit(min_z, weight, pillar_dims, lr, decay_steps, rigid_weight, max_iters):
+    return l1_minimization(min_z, weight, pillar_dims, lr, decay_steps, rigid_weight, max_iters)
+
+
+@jax.jit
+def _solve_outputs_jit(vox_bxyz, pillar_idx, min_z, height):
+    P = height.shape[0]
+    vheight = vox_bxyz[:, 3] - height[pillar_idx.clip(0, P - 1)]
+    vmin = min_z[pillar_idx.clip(0, P - 1)]
+    return dict(
+        pillar_height=height,
+        pillar_min_z=min_z,
+        pillar_idx=pillar_idx,
+        voxel_height=vheight,
+        voxel_horizon=vox_bxyz[:, 3] > vmin,
+        voxel_error=vheight - vmin,
+    )
+
+
 class GroundPlaneRemover:
     """Host-side orchestration: subsample, solve (or warm-start from cached
     pillar heights), truncate below TRUNCATE_HEIGHT, emit stats.
@@ -379,7 +479,7 @@ class GroundPlaneRemover:
             out.voxel_horizon = vox_bxyz[:, 3] > vmin
             out.voxel_error = vheight - vmin
         else:
-            out = EDict(ground_plane_solve(
+            out = EDict(ground_plane_solve_stepped(
                 vox_bxyz,
                 vox_valid,
                 jnp.asarray(pc_range_min, dtype=vox_bxyz.dtype),
