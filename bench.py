@@ -119,9 +119,15 @@ def main():
     # length and across sequences); the timed second pass is the production
     # regime. The persistent compilation cache also carries across runs.
     def run_once():
+        t = time.time()
         out = remover(dict(seq_dict))
+        print(f"# ground: {time.time() - t:.1f}s", flush=True)
+        t = time.time()
         out = proposal(out)
+        print(f"# proposal: {time.time() - t:.1f}s", flush=True)
+        t = time.time()
         out = tracking(out)
+        print(f"# tracking: {time.time() - t:.1f}s", flush=True)
         jax.block_until_ready(jax.numpy.zeros(1))
         return out
 

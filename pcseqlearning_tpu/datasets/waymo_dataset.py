@@ -241,7 +241,7 @@ class WaymoDataset(DatasetTemplate):
             )
         return merged
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, _mix3d_inner=False):
         merged = self.assemble_sweeps(index)
         cls_map = {n: i + 1 for i, n in enumerate(self.class_names)}
         names = merged.object_wise.get("gt_names", np.zeros(0, str))
@@ -273,6 +273,17 @@ class WaymoDataset(DatasetTemplate):
             if k in merged.point_wise:
                 data_dict[k] = merged.point_wise[k]
         data_dict = self.prepare_data(data_dict)
+        # mix3d scene mixing (reference waymo_dataset.py:671-678)
+        mix_cfg = self.dataset_cfg.get("MIX3D", None)
+        if mix_cfg and self.training and not _mix3d_inner:
+            if np.random.rand() < float(mix_cfg.get("PROB", 1.0)):
+                other = self.__getitem__(np.random.randint(len(self)), _mix3d_inner=True)
+                for key in ["points", "point_sweep", "segmentation_label", "instance_label"]:
+                    if key in data_dict and key in other:
+                        data_dict[key] = np.concatenate([data_dict[key], other[key]], axis=0)
+                for key in ["gt_boxes", "gt_names"]:
+                    if key in data_dict and key in other and len(other[key]):
+                        data_dict[key] = np.concatenate([data_dict[key], other[key]], axis=0)
         return data_dict
 
     # ------------------------------------------------------------------

@@ -68,11 +68,17 @@ def _flatten_local(points, feats, valid, gt_boxes):
     }
 
 
-def make_train_step(model, tx, mesh, loss_key="rpn_loss"):
+def make_train_step(model, tx, mesh, loss_key="rpn_loss", freeze_regexes=(), freeze_until=0):
     """Build the compiled SPMD train step.
 
     model: a flax detector whose train=True apply populates
-    batch_dict['losses'][loss_key]."""
+    batch_dict['losses'][loss_key].
+    freeze_regexes/freeze_until: zero the gradients of parameters whose path
+    matches any regex until global step ``freeze_until`` (reference
+    ZEROGRAD_MODULES, tools/train_utils/train_utils.py:65-72)."""
+    import re
+
+    patterns = [re.compile(r) for r in freeze_regexes]
 
     def local_loss(params, batch_stats, local):
         bd = _flatten_local(local["points"], local["feats"], local["valid"], local["gt_boxes"])
@@ -105,6 +111,18 @@ def make_train_step(model, tx, mesh, loss_key="rpn_loss"):
         state, (grads, losses) = sharded_grads(state, batch)
         import optax
 
+        if patterns:
+            def zero_frozen(path, g):
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                if any(p.search(name) for p in patterns):
+                    return jnp.where(state.step < freeze_until, jnp.zeros_like(g), g)
+                return g
+
+            grads = jax.tree_util.tree_map_with_path(zero_frozen, grads)
+        # grad-norm telemetry (reference logs per-parameter L2/Linf,
+        # train_utils.py:58-63): global norm suffices for loss scalars here
+        losses = dict(losses)
+        losses["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, state.batch_stats, opt_state, state.step + 1), losses

@@ -167,9 +167,20 @@ class ClusterTracking:
 
     # ------------------------------------------------------------------
     def track_frame(self, seq_points, frame, seq_boxes):
-        if self.device_walk:
-            return self.track_frame_device(seq_points, frame, seq_boxes)
-        return self.track_frame_host(seq_points, frame, seq_boxes)
+        """Walk-mode dispatch: the compiled-step walk minimizes dispatches
+        but its per-step program grows with (N, C) and large instances
+        exceed the TPU compile service's limits (observed SIGTERM of the
+        compile helper); above the threshold the fine-grained host walk —
+        whose individual kernels all compile quickly — takes over."""
+        if not self.device_walk:
+            return self.track_frame_host(seq_points, frame, seq_boxes)
+        num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
+        n_cap = bucket_size(max(len(frame.xyz), 1))
+        c_cap = bucket_size(max(num_components, 1), base=64)
+        budget = int(self.model_cfg.get("STEP_COMPILE_BUDGET", 1 << 21))
+        if n_cap * c_cap > budget:
+            return self.track_frame_host(seq_points, frame, seq_boxes)
+        return self.track_frame_device(seq_points, frame, seq_boxes)
 
     def track_frame_device(self, seq_points, frame, seq_boxes):
         """One-dispatch tracking walk (preprocessing/tracking_device.py):
