@@ -38,11 +38,14 @@ def make_scene(num_frames=20, points_per_frame=90_000, seed=0):
     velo = rng.randn(n_clusters, 2) * 0.4
     sizes = rng.rand(n_clusters) * 1.5 + 0.5
     gt_attr, gt_frame, gt_track = [], [], []
+    # the ground is a STATIC surface: the same physical cells are observed
+    # every frame, so the sequence-level 10cm voxel table dedupes to roughly
+    # one frame's worth of ground cells (as on real Waymo ego-static scenes)
+    n_ground = int(points_per_frame * 0.65)
+    gx_fixed = rng.rand(n_ground, 2) * 150 - 75
+    gz_fixed = 0.02 * np.sin(gx_fixed[:, 0] / 10) + rng.randn(n_ground) * 0.02
+    ground = np.stack([gx_fixed[:, 0], gx_fixed[:, 1], gz_fixed], axis=1)
     for f in range(num_frames):
-        n_ground = int(points_per_frame * 0.65)
-        gx = rng.rand(n_ground, 2) * 150 - 75
-        gz = 0.02 * np.sin(gx[:, 0] / 10) + rng.randn(n_ground) * 0.02
-        ground = np.stack([gx[:, 0], gx[:, 1], gz], axis=1)
         objs = []
         per = (points_per_frame - n_ground) // n_clusters
         for c in range(n_clusters):

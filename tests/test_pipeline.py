@@ -137,3 +137,21 @@ def test_cluster_proposal_and_tracking(seq_dict, tmp_path, device_walk):
     # artifacts written with the reference's naming scheme
     files = list((tmp_path / "tracking").rglob("*.pkl"))
     assert any(f.name == "all.pkl" for f in files)
+
+
+def test_ground_removal_ransac(seq_dict, tmp_path):
+    """RANSAC + TLS path (batched 30-ratio IRLS)."""
+    from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
+
+    remover = GroundPlaneRemover(EDict(
+        PILLAR_SIZE=[4, 4], LR=0.01, DECAY_STEPS=[100], RIGID_WEIGHT=0.5,
+        MAX_NUM_ITERS=150, TRUNCATE_HEIGHT=[0.5], RANSAC=True, JointOpt=True,
+        SIGMA2=0.0025, K=4,
+    ))
+    out = remover(dict(seq_dict))
+    seg_kept = out["segmentation_label"]
+    assert (seg_kept == 1).mean() > 0.5  # clusters dominate kept points
+    # the flat ground must be fit: pillar heights near 0
+    heights = np.asarray(out["full_point_height"])
+    ground_pts = seq_dict["segmentation_label"] == 17
+    assert np.median(np.abs(heights[ground_pts])) < 0.3
