@@ -32,6 +32,57 @@ def _zero_frame(fxyz):
     return jnp.concatenate([jnp.zeros_like(fxyz[:, :1]), fxyz[:, 1:4]], axis=1)
 
 
+# Below this many distance-matrix entries, nearest-neighbor correspondences
+# ride the MXU (one [M, N] matmul + argmin) instead of the hash grid: TPU
+# random gathers run ~100M elem/s while the MXU does the whole matrix in
+# microseconds. ICP operates on grid-subsampled tables (<= tens of k), so
+# this is the common case; the hash path covers large tables.
+_BRUTE_NN_MAX_ENTRIES = 1 << 28
+
+
+def _nn1_brute(ref_xyz, ref_valid, query_xyz, query_valid, radius):
+    """Nearest ref within radius per query via MXU distance matrix.
+
+    The |q|^2+|r|^2-2qr expansion PRESELECTS the argmin; the returned
+    distance is recomputed exactly (f32 cancellation only perturbs
+    near-ties, which are immaterial for NN correspondences).
+    """
+    # center both clouds (shrinks magnitudes so the expansion stays
+    # accurate) and keep full f32 on the K=3 matmul — bf16 inputs would
+    # put O(coordinate^2 * 0.4%) absolute error into d2, swamping radius^2
+    mid = jnp.sum(jnp.where(ref_valid[:, None], ref_xyz, 0.0), axis=0) / jnp.maximum(
+        jnp.sum(ref_valid), 1
+    )
+    q = query_xyz - mid
+    r = ref_xyz - mid
+    qn = jnp.sum(q * q, axis=-1)
+    rn = jnp.sum(r * r, axis=-1)
+    cross = jnp.matmul(q, r.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = qn[:, None] + rn[None, :] - 2.0 * cross
+    big = jnp.asarray(jnp.inf, d2.dtype)
+    d2 = jnp.where(ref_valid[None, :], d2, big)
+    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    diff = ref_xyz[idx] - query_xyz
+    d2_exact = jnp.sum(diff * diff, axis=-1)
+    ok = query_valid & jnp.any(ref_valid) & (d2_exact <= radius * radius)
+    return idx, d2_exact, ok
+
+
+def _nn1(ref_xyz, ref_valid, query_xyz, query_valid, radius, cell_cap):
+    """Adaptive nearest-1-in-radius: MXU brute force for small tables,
+    hash grid otherwise."""
+    m, n = query_xyz.shape[0], ref_xyz.shape[0]
+    if m * n <= _BRUTE_NN_MAX_ENTRIES:
+        return _nn1_brute(ref_xyz, ref_valid, query_xyz, query_valid, radius)
+    ref_f = jnp.concatenate([jnp.zeros((n, 1), ref_xyz.dtype), ref_xyz], axis=1)
+    q_f = jnp.concatenate([jnp.zeros((m, 1), query_xyz.dtype), query_xyz], axis=1)
+    grid = hash_graph.build_hash_grid(ref_f, radius, ref_valid)
+    idx, d2, mask = hash_graph.radius_neighbors(
+        grid, q_f, radius, 1, query_valid=query_valid, cell_cap=cell_cap
+    )
+    return idx[:, 0], d2[:, 0], mask[:, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_components", "max_iter", "cell_cap"),
@@ -75,27 +126,18 @@ def register_to_next_frame(
     nr = ref_xyz.shape[0]
     comp_safe = jnp.where(moving_valid & (moving_comp >= 0), moving_comp, C)
 
-    ref_f = jnp.concatenate([jnp.zeros((nr, 1), ref_xyz.dtype), ref_xyz], axis=1)
-    ref_grid = hash_graph.build_hash_grid(ref_f, radius, ref_valid)
-
     T0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (C, 4, 4))
 
     def correspondences(xyz):
         """Bidirectional NN edges; returns per-edge (m_idx, r_idx, valid)."""
-        mov_f = jnp.concatenate([jnp.zeros((nm, 1), xyz.dtype), xyz], axis=1)
         # forward: each moving point -> nearest ref
-        f_idx, _, f_mask = hash_graph.radius_neighbors(
-            ref_grid, mov_f, radius, 1, query_valid=moving_valid, cell_cap=cell_cap
-        )
-        # backward: each ref point -> nearest moving (grid over MOVING points,
-        # rebuilt every iteration since they move)
-        mov_grid = hash_graph.build_hash_grid(mov_f, radius, moving_valid)
-        b_idx, _, b_mask = hash_graph.radius_neighbors(
-            mov_grid, ref_f, radius, 1, query_valid=ref_valid, cell_cap=cell_cap
-        )
-        e_m = jnp.concatenate([jnp.arange(nm, dtype=jnp.int32), b_idx[:, 0]])
-        e_r = jnp.concatenate([f_idx[:, 0], jnp.arange(nr, dtype=jnp.int32)])
-        e_ok = jnp.concatenate([f_mask[:, 0], b_mask[:, 0]])
+        f_idx, _, f_ok = _nn1(ref_xyz, ref_valid, xyz, moving_valid, radius, cell_cap)
+        # backward: each ref point -> nearest moving (recomputed every
+        # iteration since the moving points move)
+        b_idx, _, b_ok = _nn1(xyz, moving_valid, ref_xyz, ref_valid, radius, cell_cap)
+        e_m = jnp.concatenate([jnp.arange(nm, dtype=jnp.int32), b_idx])
+        e_r = jnp.concatenate([f_idx, jnp.arange(nr, dtype=jnp.int32)])
+        e_ok = jnp.concatenate([f_ok, b_ok])
         return e_m, e_r, e_ok
 
     def solve(xyz, T):
@@ -151,14 +193,9 @@ def register_to_next_frame(
 
     # edge-coverage ratio: forward-only correspondences of the final pose
     # (reference registration_utils.py:189-199)
-    mov_f = jnp.concatenate([jnp.zeros((nm, 1), xyz.dtype), xyz], axis=1)
-    f_idx, _, f_mask = hash_graph.radius_neighbors(
-        ref_grid, mov_f, radius, 1, query_valid=moving_valid, cell_cap=cell_cap
-    )
+    _, _, f_ok = _nn1(ref_xyz, ref_valid, xyz, moving_valid, radius, cell_cap)
     deg = segment_ops.segment_count(comp_safe, C + 1)[:C]
-    hits = segment_ops.segment_count(
-        jnp.where(f_mask[:, 0], comp_safe, C), C + 1
-    )[:C]
+    hits = segment_ops.segment_count(jnp.where(f_ok, comp_safe, C), C + 1)[:C]
     comp_edge_ratio = hits / (deg + 1e-6)
 
     return T, l1_err, comp_edge_ratio, xyz
