@@ -120,3 +120,25 @@ def test_centerpoint_forward_and_loss(rng, runtime_cfg):
 
     hm = fwd_eval(variables, arrs)
     assert hm.shape[-1] == 2
+
+
+def test_pvrcnn_two_stage(rng, runtime_cfg):
+    cfg = _second_cfg()
+    cfg.NAME = "PVRCNN"
+    cfg.PFE = {"NAME": "VoxelSetAbstraction", "NUM_KEYPOINTS": 64}
+    cfg.ROI_HEAD = {"NAME": "PVRCNNHead", "GRID_SIZE": 3, "NMS_POST_MAXSIZE": 16}
+    model = build_detector(cfg, runtime_cfg)
+    batch = _toy_batch(rng)
+    init_arrs = {k: v for k, v in batch.items() if k != "batch_size"}
+    variables = jax.jit(
+        lambda key, a: model.init(key, {**a, "batch_size": 2}, train=True)
+    )(jax.random.PRNGKey(0), init_arrs)
+
+    @jax.jit
+    def fwd(v, arrs):
+        out = model.apply(v, {**arrs, "batch_size": 2}, train=True, mutable=["batch_stats"])[0]
+        return out["losses"]
+
+    losses = fwd(variables, init_arrs)
+    for k in ("rpn_loss", "rcnn_loss_cls", "rcnn_loss_reg", "total_loss"):
+        assert k in losses and np.isfinite(float(losses[k])), k
