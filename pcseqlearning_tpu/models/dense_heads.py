@@ -117,6 +117,7 @@ class AnchorHeadSingle(nn.Module):
     dir_offset: float = 0.78539
     num_dir_bins: int = 2
     code_weights: Sequence[float] = (1.0,) * 7
+    predict_iou: bool = False  # SECONDNetIoU: per-anchor IoU rectification
 
     def setup(self):
         anchors = []
@@ -132,6 +133,8 @@ class AnchorHeadSingle(nn.Module):
         self.conv_cls = nn.Conv(self.num_anchors_per_loc * self.num_classes, (1, 1))
         self.conv_box = nn.Conv(self.num_anchors_per_loc * self.coder.code_size, (1, 1))
         self.conv_dir = nn.Conv(self.num_anchors_per_loc * self.num_dir_bins, (1, 1))
+        if self.predict_iou:
+            self.conv_iou = nn.Conv(self.num_anchors_per_loc, (1, 1))
 
     def __call__(self, batch_dict, train: bool = False):
         x = batch_dict["spatial_features_2d"]  # [B, H, W, C]
@@ -143,6 +146,8 @@ class AnchorHeadSingle(nn.Module):
         batch_dict["box_preds"] = box
         batch_dict["dir_preds"] = dirp
         batch_dict["anchors"] = self.anchors
+        if self.predict_iou:
+            batch_dict["iou_preds"] = self.conv_iou(x).reshape(b, h, w, self.num_anchors_per_loc)
         return batch_dict
 
     # -- losses ---------------------------------------------------------
@@ -211,7 +216,36 @@ class AnchorHeadSingle(nn.Module):
             "rpn_loss_dir": jnp.mean(dir_l) * 0.2,
         }
         losses["rpn_loss"] = losses["rpn_loss_cls"] + losses["rpn_loss_loc"] + losses["rpn_loss_dir"]
+        if self.predict_iou:
+            losses["rpn_loss_iou"] = self.iou_loss(batch_dict)
+            losses["rpn_loss"] = losses["rpn_loss"] + losses["rpn_loss_iou"]
         return losses
+
+    def iou_loss(self, batch_dict):
+        """IoU-rectification branch (SECONDNetIoU, reference
+        detectors/second_net_iou.py + anchor_head IoU target assignment):
+        smooth-L1 on (2*iou - 0.5) targets between decoded boxes and their
+        best GT, computed with the axis-aligned nearest-BEV IoU."""
+        gt = batch_dict["gt_boxes"]
+        iou_preds = batch_dict["iou_preds"]
+        b = iou_preds.shape[0]
+        anchors_flat = self.anchors.reshape(-1, 7)
+        box_preds = batch_dict["box_preds"].reshape(b, -1, self.coder.code_size)
+
+        def one(bp, iou_p, gt_b):
+            boxes = self.coder.decode(bp, anchors_flat)
+            gtb = gt_b[:, :7]
+            gvalid = gt_b[:, 7] > 0
+            iou = nearest_bev_iou(boxes, gtb)
+            iou = jnp.where(gvalid[None, :], iou, 0.0)
+            best = jnp.max(iou, axis=1)
+            fg = best > 0.3
+            tgt = jnp.clip(2.0 * best - 0.5, 0.0, 1.0)
+            w = fg.astype(jnp.float32) / jnp.maximum(jnp.sum(fg), 1.0)
+            diff = jax.nn.sigmoid(iou_p.reshape(-1)) - tgt
+            return jnp.sum(loss_utils.smooth_l1(diff) * w)
+
+        return jnp.mean(jax.vmap(one)(box_preds, iou_preds, gt))
 
     def generate_predicted_boxes(self, batch_dict):
         cls_preds = batch_dict["cls_preds"]

@@ -165,6 +165,7 @@ class Detector3DTemplate(nn.Module):
                 grid_size_xy=(self.grid_size[0] // fm_stride, self.grid_size[1] // fm_stride),
                 point_cloud_range=self.point_cloud_range,
                 anchor_cfgs=tuple(EDictHashable(a) for a in anchor_cfgs),
+                predict_iou=bool(cfg.get("NAME", "")) and cfg.get("NAME") == "SECONDNetIoU",
             )
 
     def __call__(self, batch_dict, train: bool = False):
@@ -263,6 +264,7 @@ class AnchorHeadWrap(nn.Module):
     grid_size_xy: tuple
     point_cloud_range: tuple
     anchor_cfgs: tuple
+    predict_iou: bool = False
 
     def setup(self):
         from .dense_heads import AnchorHeadSingle
@@ -272,6 +274,7 @@ class AnchorHeadWrap(nn.Module):
             grid_size_xy=self.grid_size_xy,
             point_cloud_range=self.point_cloud_range,
             anchor_cfgs=self.anchor_cfgs,
+            predict_iou=self.predict_iou,
         )
 
     def __call__(self, batch_dict, train: bool = False):

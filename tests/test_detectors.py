@@ -142,3 +142,23 @@ def test_pvrcnn_two_stage(rng, runtime_cfg):
     losses = fwd(variables, init_arrs)
     for k in ("rpn_loss", "rcnn_loss_cls", "rcnn_loss_reg", "total_loss"):
         assert k in losses and np.isfinite(float(losses[k])), k
+
+
+def test_secondnet_iou(rng, runtime_cfg):
+    cfg = _second_cfg()
+    cfg.NAME = "SECONDNetIoU"
+    model = build_detector(cfg, runtime_cfg)
+    batch = _toy_batch(rng)
+    init_arrs = {k: v for k, v in batch.items() if k != "batch_size"}
+    variables = jax.jit(
+        lambda key, a: model.init(key, {**a, "batch_size": 2}, train=True)
+    )(jax.random.PRNGKey(0), init_arrs)
+
+    @jax.jit
+    def fwd(v, arrs):
+        out = model.apply(v, {**arrs, "batch_size": 2}, train=True, mutable=["batch_stats"])[0]
+        return out["losses"], out["iou_preds"]
+
+    losses, iou_preds = fwd(variables, init_arrs)
+    assert "rpn_loss_iou" in losses and np.isfinite(float(losses["rpn_loss_iou"]))
+    assert iou_preds.ndim == 4
