@@ -318,10 +318,23 @@ class ClusterTracking:
             stationary=np.asarray(stat)[vvalid],
         )
 
+    _prof = {}
+
+    @classmethod
+    def _tick(cls, key, t0):
+        import time as _t
+
+        cls._prof[key] = cls._prof.get(key, 0.0) + (_t.time() - t0)
+        return _t.time()
+
     def _register_level(self, moving, ref, num_components, level):
         """One pyramid level: grid-sample both sides, run jitted ICP."""
+        import time as _t
+
+        t0 = _t.time()
         sub_m = self._sample_frame(moving, self.voxel_size_list[level])
         sub_r = self._sample_frame(ref, self.voxel_size_list[level])
+        t0 = self._tick("sample", t0)
         # exclude stationary points on both sides (reference filters
         # non-stationary before registration, registration_utils.py:120-121)
         m_keep = ~sub_m.stationary & (sub_m.component >= 0)
@@ -343,11 +356,13 @@ class ClusterTracking:
             max_iter=self.max_icp_iter,
             stopping_delta=jnp.asarray(self.stopping_delta[level], jnp.float32),
         )
-        return (
+        out = (
             np.asarray(T)[:num_components],
             np.asarray(l1)[:num_components],
             np.asarray(ratio)[:num_components],
         )
+        self._tick("register", t0)
+        return out
 
     # ------------------------------------------------------------------
     def track_frame_host(self, seq_points, frame, seq_boxes):
@@ -467,10 +482,14 @@ class ClusterTracking:
                 span = np.zeros(F, bool)
                 span[lo : hi + 1] = True
                 # pad to static window (full F window; W static per track call)
+                import time as _t
+
+                _ts = _t.time()
                 sm = _smooth_velo_kernel(
                     jnp.asarray(comp_velos), jnp.asarray(comp_center_diffs), jnp.asarray(span), F
                 )
                 comp_velos = np.array(sm)  # np.asarray of a jax array is read-only
+                self._tick("smooth", _ts)
                 delta_velo = comp_velos[:, next_frame_id] - comp_velo
                 comp_velo = comp_velos[:, next_frame_id]
                 cur.xyz = cur.xyz + delta_velo[cur.component] * track_dir
@@ -509,11 +528,13 @@ class ClusterTracking:
                 cap_r = bucket_size(len(cur.xyz))
                 rx, r_valid = pad_rows(cur.xyz.astype(np.float32), cap_r, fill=1e8)
                 qx, q_valid = pad_rows(nxt.xyz.astype(np.float32), cap_q, fill=1e8)
+                _tn = __import__("time").time()
                 nn_idx, nn_ok = _nn_match(
                     jnp.asarray(rx), jnp.asarray(r_valid), jnp.asarray(qx), jnp.asarray(q_valid),
                     jnp.asarray(self.nn_radius, jnp.float32),
                 )
                 nn_idx = np.asarray(nn_idx)[: len(nxt.xyz)]
+                self._tick("nn_extract", _tn)
                 nn_ok = np.asarray(nn_ok)[: len(nxt.xyz)]
                 src_comp = np.where(nn_ok, cur.component[np.clip(nn_idx, 0, len(cur.xyz) - 1)], -1)
                 keep = nn_ok & (src_comp >= 0) & ~stopped[np.clip(src_comp, 0, num_components - 1)]
@@ -744,12 +765,18 @@ class ClusterTracking:
                     segmentation_label=seq_points.segmentation_label[fm],
                     original_indices=np.nonzero(fm)[0],
                 )
+                import time as _time
+
+                _t0 = _time.time()
                 extracted = self.track_frame(seq_points, fr, seq_boxes)
+                print(f"[Timer] Tracking Frame {frame_id}: {_time.time() - _t0:.2f}s", flush=True)
                 if extracted is None or len(extracted.fxyz) == 0:
                     continue
+                _t0 = _time.time()
                 extracted, seq_boxes = self.extract_traces_and_update_boxes(
                     all_points, extracted, seq_boxes
                 )
+                print(f"[Timer] Extract Traces {frame_id}: {_time.time() - _t0:.2f}s", flush=True)
                 if outfolder:
                     with open(os.path.join(outfolder, f"{frame_id:03d}_{comp_key}.pkl"), "wb") as f:
                         pickle.dump({k: v for k, v in extracted.items()}, f)
