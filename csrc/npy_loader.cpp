@@ -95,20 +95,25 @@ class Pool {
         std::unique_lock<std::mutex> lk(mu_);
         out = results_[job.ticket];
       }
-      LoadNpy(job.path, out);
+      // decode outside the lock, but publish the status transition under
+      // mu_ so Wait()'s predicate read is properly synchronized
+      int32_t status = LoadNpy(job.path, out);
       {
         std::unique_lock<std::mutex> lk(mu_);
+        out->status = status;
         done_cv_.notify_all();
       }
     }
   }
 
-  static void Fail(Array* out, const std::string& msg) {
+  static int32_t Fail(Array* out, const std::string& msg) {
     out->error = msg;
-    out->status = 2;
+    return 2;
   }
 
-  static void LoadNpy(const std::string& path, Array* out) {
+  // returns the status code (1 ready / 2 error); the caller publishes it
+  // into out->status under the pool mutex
+  static int32_t LoadNpy(const std::string& path, Array* out) {
     FILE* f = fopen(path.c_str(), "rb");
     if (!f) return Fail(out, "open failed: " + path);
     char magic[8];
@@ -155,10 +160,20 @@ class Pool {
     out->ndim = 0;
     int64_t total = 1;
     const char* s = shape_str.c_str();
-    while (*s && out->ndim < 4) {
+    while (*s) {
       while (*s == ' ' || *s == ',') s++;
       if (!*s) break;
-      int64_t dim = strtoll(s, const_cast<char**>(&s), 10);
+      if (out->ndim >= 4) {  // >4-D arrays are unsupported, not truncated
+        fclose(f);
+        return Fail(out, "ndim > 4 unsupported: " + path);
+      }
+      char* end = nullptr;
+      int64_t dim = strtoll(s, &end, 10);
+      if (end == s) {  // non-numeric junk: stop rather than spin
+        fclose(f);
+        return Fail(out, "bad shape tuple: " + path);
+      }
+      s = end;
       out->shape[out->ndim++] = dim;
       total *= dim;
     }
@@ -172,7 +187,7 @@ class Pool {
       return Fail(out, "short payload: " + path);
     }
     fclose(f);
-    out->status = 1;
+    return 1;
   }
 
   std::mutex mu_;

@@ -74,31 +74,39 @@ def nearest_bev_iou(boxes_a, boxes_b):
     return inter / jnp.maximum(aa[:, None] + ab[None, :] - inter, 1e-6)
 
 
-def assign_anchor_targets(anchors_flat, gt_boxes, gt_classes, gt_valid, class_id, matched_thr, unmatched_thr, coder):
+def assign_anchor_targets(anchors_flat, gt_boxes, gt_classes, gt_valid, class_id, matched_thr, unmatched_thr, coder, anchor_mask=None):
     """Single-class, single-sample anchor assignment (reference
     AxisAlignedTargetAssigner.assign_targets_single).
 
     anchors_flat [A, 7]; gt_* padded [G]; class_id int (1-based).
+    anchor_mask [A] restricts matching AND force-matching to this class's
+    own anchor rows, as the reference assigner does by slicing anchors per
+    class before IoU.
     Returns labels [A] (-1 ignore / 0 bg / class_id fg), reg targets [A, C].
     """
     g_mask = gt_valid & (gt_classes == class_id)
+    if anchor_mask is None:
+        anchor_mask = jnp.ones(anchors_flat.shape[0], bool)
     iou = nearest_bev_iou(anchors_flat, gt_boxes)  # [A, G]
-    iou = jnp.where(g_mask[None, :], iou, -1.0)
+    iou = jnp.where(g_mask[None, :] & anchor_mask[:, None], iou, -1.0)
     max_iou = jnp.max(iou, axis=1)
     argmax_gt = jnp.argmax(iou, axis=1)
 
     labels = jnp.full(anchors_flat.shape[0], -1, jnp.int32)
     labels = jnp.where(max_iou >= matched_thr, class_id, labels)
     labels = jnp.where(max_iou < unmatched_thr, 0, labels)
-    # force-match: the best anchor of each GT becomes fg
+    # force-match: the best anchor (within this class's rows) of each GT
+    # becomes fg
     best_anchor = jnp.argmax(iou, axis=0)  # [G]
     force = jnp.zeros(anchors_flat.shape[0], bool).at[best_anchor].set(g_mask)
+    force = force & anchor_mask
     labels = jnp.where(force, class_id, labels)
     argmax_gt = jnp.where(force, jnp.argmax(jnp.where(force[:, None], iou, -1.0), axis=1), argmax_gt)
 
     tgt_boxes = gt_boxes[argmax_gt]
     reg = coder.encode(tgt_boxes, anchors_flat)
-    fg = labels == class_id
+    fg = (labels == class_id) & anchor_mask
+    labels = jnp.where(anchor_mask, labels, -1)
     reg = jnp.where(fg[:, None], reg, 0.0)
     return labels, reg, fg
 
@@ -121,12 +129,21 @@ class AnchorHeadSingle(nn.Module):
 
     def setup(self):
         anchors = []
+        slices = []
+        off = 0
         for cfg in self.anchor_cfgs:
             a = generate_anchors(
                 self.grid_size_xy, self.point_cloud_range,
                 cfg["sizes"], cfg["rotations"], cfg["heights"],
             )
-            anchors.append(a.reshape(a.shape[0], a.shape[1], -1, 7))
+            a = a.reshape(a.shape[0], a.shape[1], -1, 7)
+            anchors.append(a)
+            slices.append((off, a.shape[2]))
+            off += a.shape[2]
+        # per-class slices in the per-location anchor axis: class ci owns
+        # rows [off, off+cnt) of the M dimension (reference assigner matches
+        # each class's GTs only against its own anchor set)
+        self.anchor_class_slices = tuple(slices)
         self.anchors = jnp.asarray(np.concatenate(anchors, axis=2))  # [ny, nx, M, 7]
         self.num_anchors_per_loc = self.anchors.shape[2]
         self.coder = ResidualCoder()
@@ -167,13 +184,19 @@ class AnchorHeadSingle(nn.Module):
             labels = jnp.full(anchors_flat.shape[0], -1, jnp.int32)
             regs = jnp.zeros((anchors_flat.shape[0], self.coder.code_size))
             fg_any = jnp.zeros(anchors_flat.shape[0], bool)
+            m_total = self.num_anchors_per_loc
+            m_ids = jnp.arange(anchors_flat.shape[0], dtype=jnp.int32) % m_total
             for ci, cfg in enumerate(self.anchor_cfgs):
+                off, cnt = self.anchor_class_slices[ci]
+                amask = (m_ids >= off) & (m_ids < off + cnt)
                 l, r, fg = assign_anchor_targets(
                     anchors_flat, gt_boxes, gt_cls, gt_valid, ci + 1,
                     cfg["matched_threshold"], cfg["unmatched_threshold"], self.coder,
+                    anchor_mask=amask,
                 )
-                labels = jnp.where(fg, ci + 1, jnp.where((labels == -1) & (l == 0), 0, labels))
-                regs = jnp.where(fg[:, None], r, regs)
+                # each class's results only touch its own anchor rows
+                labels = jnp.where(amask, l, labels)
+                regs = jnp.where((amask & fg)[:, None], r, regs)
                 fg_any = fg_any | fg
 
             cls_p = cls_p.reshape(-1, self.num_classes)
@@ -305,7 +328,8 @@ class CenterHead(nn.Module):
     def __call__(self, batch_dict, train: bool = False):
         x = batch_dict["spatial_features_2d"]
         x = nn.Conv(self.shared_channels, (3, 3), padding=1, use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3)(x)
+        from .layers import BatchNorm2d
+        x = BatchNorm2d()(x, train)
         x = nn.relu(x)
         hm = nn.Conv(self.num_classes, (3, 3), padding=1,
                      bias_init=nn.initializers.constant(-2.19))(x)

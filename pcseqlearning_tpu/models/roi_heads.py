@@ -62,11 +62,18 @@ def assign_roi_targets(rois, roi_valid, gt_boxes, gt_classes, gt_valid,
     c, s = jnp.cos(-rois[:, 6]), jnp.sin(-rois[:, 6])
     lx = dxy[:, 0] * c - dxy[:, 1] * s
     ly = dxy[:, 0] * s + dxy[:, 1] * c
+    # heading residual: wrap mod 2pi, flip opposite-facing pairs by pi, and
+    # clamp to [-pi/2, pi/2] (reference RoIHeadTemplate.assign_targets)
+    dh = jnp.remainder(tgt[:, 6] - rois[:, 6], 2 * jnp.pi)
+    opposite = (dh > jnp.pi * 0.5) & (dh < jnp.pi * 1.5)
+    dh = jnp.where(opposite, jnp.remainder(dh + jnp.pi, 2 * jnp.pi), dh)
+    dh = jnp.where(dh > jnp.pi, dh - 2 * jnp.pi, dh)
+    dh = jnp.clip(dh, -jnp.pi / 2, jnp.pi / 2)
     local_tgt = jnp.concatenate(
         [
             jnp.stack([lx, ly, tgt[:, 2] - rois[:, 2]], axis=-1),
             tgt[:, 3:6],
-            (tgt[:, 6] - rois[:, 6])[:, None],
+            dh[:, None],
         ],
         axis=-1,
     )

@@ -107,7 +107,15 @@ def main():
         start_epoch = int(path.rsplit("_", 1)[-1])
         logger.info(f"resumed from {path} at epoch {start_epoch}")
 
-    loss_key = "center_loss" if cfg.MODEL.DENSE_HEAD.NAME == "CenterHead" else "rpn_loss"
+    # two-stage models put first+second-stage losses in 'total_loss'
+    # (detectors._run_roi_stage); differentiating only the RPN loss would
+    # leave the RoI head untrained
+    if "ROI_HEAD" in cfg.MODEL:
+        loss_key = "total_loss"
+    elif cfg.MODEL.DENSE_HEAD.NAME == "CenterHead":
+        loss_key = "center_loss"
+    else:
+        loss_key = "rpn_loss"
     train_step = make_train_step(model, tx, mesh, loss_key=loss_key)
 
     try:
