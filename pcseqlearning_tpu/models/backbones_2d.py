@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import sparse_conv as sc
+from .layers import BatchNorm2d
 
 
 class HeightCompression(nn.Module):
@@ -76,11 +77,11 @@ class BaseBEVBackbone(nn.Module):
                 self.num_filters[i], (3, 3), strides=(self.layer_strides[i],) * 2,
                 padding=1, use_bias=False, name=f"block{i}_down",
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3, name=f"block{i}_down_bn")(x)
+            x = BatchNorm2d(name=f"block{i}_down_bn")(x, train)
             x = nn.relu(x)
             for j in range(n_layers):
                 x = nn.Conv(self.num_filters[i], (3, 3), padding=1, use_bias=False, name=f"block{i}_conv{j}")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3, name=f"block{i}_bn{j}")(x)
+                x = BatchNorm2d(name=f"block{i}_bn{j}")(x, train)
                 x = nn.relu(x)
             u = self.upsample_strides[i]
             if u > 1:
@@ -90,7 +91,7 @@ class BaseBEVBackbone(nn.Module):
                 )(x)
             else:
                 y = nn.Conv(self.num_upsample_filters[i], (1, 1), use_bias=False, name=f"deblock{i}")(x)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-3, name=f"deblock{i}_bn")(y)
+            y = BatchNorm2d(name=f"deblock{i}_bn")(y, train)
             y = nn.relu(y)
             ups.append(y)
         out = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]

@@ -7,6 +7,7 @@ spconv_blocks.py) on top of ops/sparse_conv.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -15,6 +16,30 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sparse_conv as sc
+
+# trace-time context: when set, every batch-norm layer reduces its moments
+# over the named mapped axis — the SPMD equivalent of torch SyncBatchNorm
+# (reference tools/train.py:146-147). The data-parallel train step wraps
+# model.apply in bn_cross_replica("dp") inside shard_map, which makes the
+# dp=K step numerically identical to the dp=1 step (global-batch moments).
+_SYNC_AXIS = [None]
+
+
+@contextmanager
+def bn_cross_replica(axis_name):
+    prev = _SYNC_AXIS[0]
+    _SYNC_AXIS[0] = axis_name
+    try:
+        yield
+    finally:
+        _SYNC_AXIS[0] = prev
+
+
+def _moment_sum(x):
+    """Sum a moment accumulator over the sync axis when one is bound."""
+    if _SYNC_AXIS[0] is not None:
+        return jax.lax.psum(x, _SYNC_AXIS[0])
+    return x
 
 
 class MaskedBatchNorm(nn.Module):
@@ -38,9 +63,9 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             w = valid.astype(x.dtype)[:, None]
-            n = jnp.maximum(jnp.sum(w), 1.0)
-            mean = jnp.sum(x * w, axis=0) / n
-            var = jnp.sum(w * (x - mean[None, :]) ** 2, axis=0) / n
+            n = jnp.maximum(_moment_sum(jnp.sum(w)), 1.0)
+            mean = _moment_sum(jnp.sum(x * w, axis=0)) / n
+            var = _moment_sum(jnp.sum(w * (x - mean[None, :]) ** 2, axis=0)) / n
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
@@ -49,6 +74,36 @@ class MaskedBatchNorm(nn.Module):
         y = (x - mean[None, :]) * jax.lax.rsqrt(var[None, :] + self.eps)
         y = y * scale[None, :] + bias[None, :]
         return jnp.where(valid[:, None], y, 0.0)
+
+
+class BatchNorm2d(nn.Module):
+    """Dense batch norm over [..., C] feature maps with cross-replica
+    moment sync via bn_cross_replica (drop-in for nn.BatchNorm in the BEV
+    backbone / heads; torch momentum convention: new = (1-m)*old + m*batch,
+    m matching nn.BatchNorm's (1 - momentum))."""
+
+    momentum: float = 0.01
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        axes = tuple(range(x.ndim - 1))
+
+        if train:
+            n = _moment_sum(jnp.asarray(np.prod(x.shape[:-1]), x.dtype))
+            mean = _moment_sum(jnp.sum(x, axis=axes)) / n
+            var = _moment_sum(jnp.sum((x - mean) ** 2, axis=axes)) / n
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
 
 
 def _kernel_init(k, cin):

@@ -81,12 +81,24 @@ def make_train_step(model, tx, mesh, loss_key="rpn_loss", freeze_regexes=(), fre
     patterns = [re.compile(r) for r in freeze_regexes]
 
     def local_loss(params, batch_stats, local):
+        from ..models.layers import bn_cross_replica
+
         bd = _flatten_local(local["points"], local["feats"], local["valid"], local["gt_boxes"])
-        out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats}, bd, train=True,
-            mutable=["batch_stats"],
-        )
-        loss = out["losses"][loss_key]
+        # sync-BN over the dp axis: batch-norm moments are global-batch
+        # moments, so the dp=K step is numerically identical to dp=1 (the
+        # reference's optional SyncBatchNorm, tools/train.py:146-147, made
+        # the default because it also makes DDP-equivalence exactly testable)
+        with bn_cross_replica("dp"):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats}, bd, train=True,
+                mutable=["batch_stats"],
+            )
+        # pmean BEFORE differentiating: under shard_map AD the gradient of a
+        # replicated input is psum'd across shards, so differentiating the
+        # per-shard loss and pmean-ing grads afterwards yields D-times the
+        # mean gradient. Differentiating the pmean'd loss gives exactly the
+        # global-batch gradient (matches dp=1 and torch-DDP averaging).
+        loss = jax.lax.pmean(out["losses"][loss_key], "dp")
         return loss, (mut["batch_stats"], out["losses"])
 
     batch_specs = {"points": P("dp"), "feats": P("dp"), "valid": P("dp"), "gt_boxes": P("dp")}
@@ -101,7 +113,9 @@ def make_train_step(model, tx, mesh, loss_key="rpn_loss", freeze_regexes=(), fre
         (loss, (new_stats, losses)), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(state.params, state.batch_stats, batch)
-        grads = jax.lax.pmean(grads, "dp")
+        # grads are already the global-mean gradient (the loss is pmean'd
+        # before differentiation inside local_loss); only stats/telemetry
+        # still need their cross-shard mean here
         new_stats = jax.lax.pmean(new_stats, "dp")
         losses = jax.lax.pmean(losses, "dp")
         return TrainState(state.params, new_stats, state.opt_state, state.step), (grads, losses)

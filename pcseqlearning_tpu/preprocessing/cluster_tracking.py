@@ -167,20 +167,138 @@ class ClusterTracking:
 
     # ------------------------------------------------------------------
     def track_frame(self, seq_points, frame, seq_boxes):
-        """Walk-mode dispatch: the compiled-step walk minimizes dispatches
-        but its per-step program grows with (N, C) and large instances
-        exceed the TPU compile service's limits (observed SIGTERM of the
-        compile helper); above the threshold the fine-grained host walk —
-        whose individual kernels all compile quickly — takes over."""
-        if not self.device_walk:
+        """Walk-mode dispatch. Default is the component-bucketed batched
+        walk (tracking_batched.py): per-component [C, P] tiles whose ICP
+        pyramid is batched MXU distance matrices — no gathers in the inner
+        loop, so it scales to full Waymo frames. WALK_MODE selects the
+        legacy paths ('device' = [W, N]-table compiled step, 'host' =
+        reference-shaped per-kernel walk)."""
+        mode = str(self.model_cfg.get("WALK_MODE", "batched"))
+        if not self.device_walk or mode == "host":
             return self.track_frame_host(seq_points, frame, seq_boxes)
+        if mode in ("stepped", "full", "device"):
+            num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
+            n_cap = bucket_size(max(len(frame.xyz), 1))
+            c_cap = bucket_size(max(num_components, 1), base=64)
+            budget = int(self.model_cfg.get("STEP_COMPILE_BUDGET", 1 << 21))
+            if n_cap * c_cap > budget:
+                return self.track_frame_host(seq_points, frame, seq_boxes)
+            return self.track_frame_device(seq_points, frame, seq_boxes)
+        return self.track_frame_batched(seq_points, frame, seq_boxes)
+
+    def track_frame_batched(self, seq_points, frame, seq_boxes):
+        """Component-bucketed walk (preprocessing/tracking_batched.py):
+        packs each component's anchor points into a [C, P] tile, builds the
+        [W, N] frame window, runs the batched walk, and converts outputs to
+        the extracted-points format of the host walk."""
+        from .tracking_batched import pack_components, track_window_batched
+
         num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
-        n_cap = bucket_size(max(len(frame.xyz), 1))
-        c_cap = bucket_size(max(num_components, 1), base=64)
-        budget = int(self.model_cfg.get("STEP_COMPILE_BUDGET", 1 << 21))
-        if n_cap * c_cap > budget:
-            return self.track_frame_host(seq_points, frame, seq_boxes)
-        return self.track_frame_device(seq_points, frame, seq_boxes)
+        if num_components == 0:
+            return None
+        frame_id = int(frame.frame[0])
+        frames_arr = seq_points.frame
+        W = 2 * self.track_interval + 1
+
+        frame_rows = []
+        max_n = len(frame.xyz)
+        for w in range(W):
+            fid = frame_id - self.track_interval + w
+            rows = np.nonzero(frames_arr == fid)[0]
+            frame_rows.append(rows)
+            max_n = max(max_n, len(rows))
+        n_cap = bucket_size(max_n)
+        window_xyz = np.full((W, n_cap, 3), 1e8, np.float32)
+        window_valid = np.zeros((W, n_cap), bool)
+        window_stat = np.zeros((W, n_cap), bool)
+        for w, rows in enumerate(frame_rows):
+            n = len(rows)
+            window_xyz[w, :n] = seq_points.xyz[rows]
+            window_valid[w, :n] = True
+            window_stat[w, :n] = seq_points.stationary[rows]
+        anchor_slot = self.track_interval
+        na = len(frame.xyz)
+        window_xyz[anchor_slot] = 1e8
+        window_valid[anchor_slot] = False
+        window_stat[anchor_slot] = False
+        window_xyz[anchor_slot, :na] = frame.xyz
+        window_valid[anchor_slot, :na] = True
+        window_stat[anchor_slot, :na] = frame.stationary
+
+        C = bucket_size(num_components, base=64)
+        deg = np.bincount(frame.component, minlength=C).astype(np.float32)[:C]
+        ctr = np.zeros((C, 3), np.float32)
+        for d in range(3):
+            ctr[:, d] = np.bincount(frame.component, weights=frame.xyz[:, d], minlength=C)[:C]
+        ctr[deg > 0] /= deg[deg > 0, None]
+        rr = np.linalg.norm(frame.xyz - ctr[frame.component], axis=-1)
+        diam = np.zeros(C, np.float32)
+        np.maximum.at(diam, frame.component, rr)
+        diam *= 2
+        comp_valid0 = (deg > 0.5) & (diam < 12.5)
+
+        P = int(self.model_cfg.get("TRACK_POINTS_PER_COMPONENT", 128))
+        Q = min(int(self.model_cfg.get("TRACK_NUM_CANDIDATES", 512)), n_cap)
+        comp_xyz, comp_pmask = pack_components(
+            frame.xyz.astype(np.float32), frame.component,
+            ~frame.stationary, C, P,
+        )
+
+        levels = tuple(
+            (float(v[0]), float(v[1]), float(v[2]), float(r), float(sd))
+            for v, r, sd in zip(self.voxel_size_list, self.radius_list, self.stopping_delta)
+        )
+        out = track_window_batched(
+            window_xyz, window_valid, window_stat, comp_xyz, comp_pmask,
+            comp_valid0, diam, deg,
+            interval=self.track_interval, levels=levels, num_candidates=Q,
+            nn_radius=self.nn_radius, angle_regularizer=self.angle_regularizer,
+            reg_error_coeff=self.reg_error_coeff,
+            angle_threshold_deg=self.angle_threshold,
+            min_move_frame=self.min_move_frame, max_icp_iter=self.max_icp_iter,
+            sel_margin=float(self.model_cfg.get("SELECTION_MARGIN", max(self.radius_list) + 4.0)),
+        )
+        valid_final = out["valid_final"][:num_components]
+        moving = out["moving"][:num_components]
+
+        # assemble extracted points: anchor members + per-frame claims
+        ex_xyzf, ex_comp, ex_seg, ex_orig = [], [], [], []
+        keep_anchor = valid_final[frame.component]
+        ex_xyzf.append(np.concatenate(
+            [np.full((keep_anchor.sum(), 1), frame_id, np.float32), frame.xyz[keep_anchor]], axis=1))
+        ex_comp.append(frame.component[keep_anchor])
+        ex_seg.append(frame.segmentation_label[keep_anchor])
+        ex_orig.append(frame.original_indices[keep_anchor])
+
+        for w, rows in enumerate(frame_rows):
+            if w == anchor_slot or len(rows) == 0:
+                continue
+            comp = out["extract_comp"][w, : len(rows)]
+            ok = (comp >= 0) & (comp < num_components)
+            ok &= valid_final[np.clip(comp, 0, num_components - 1)]
+            if not ok.any():
+                continue
+            fid = frame_id - self.track_interval + w
+            sel = np.nonzero(ok)[0]
+            ex_xyzf.append(np.concatenate(
+                [np.full((len(sel), 1), fid, np.float32), seq_points.xyz[rows[sel]]], axis=1))
+            ex_comp.append(comp[sel])
+            ex_seg.append(seq_points.segmentation_label[rows[sel]])
+            ex_orig.append(rows[sel])
+
+        extracted = EDict(
+            fxyz=np.concatenate(ex_xyzf, axis=0),
+            component=np.concatenate(ex_comp, axis=0),
+            segmentation_label=np.concatenate(ex_seg, axis=0),
+            original_indices=np.concatenate(ex_orig, axis=0),
+        )
+        extracted.moving = (
+            moving[extracted.component] if len(extracted.component) else np.zeros(0, bool)
+        )
+        extracted.transforms = out["transforms"][:num_components]
+        extracted.reg_errors = out["reg_errors"][:num_components]
+        extracted.comp_edge_ratios = out["edge_ratios"][:num_components]
+        return extracted
 
     def track_frame_device(self, seq_points, frame, seq_boxes):
         """One-dispatch tracking walk (preprocessing/tracking_device.py):

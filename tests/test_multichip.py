@@ -43,7 +43,10 @@ def test_dp_train_step_matches_single_device(rng):
         data_cfg={"POINT_CLOUD_RANGE": [-3.2, -3.2, -1.0, 3.2, 3.2, 2.2],
                   "VOXEL_SIZE": [0.4, 0.4, 3.2]},
         class_names=["Vehicle"],
-        voxel_cap=256,
+        # headroom for the dp=1 run, whose single shard voxelizes all 8
+        # samples into one table — a saturated capacity would truncate
+        # points and mask the equivalence being tested
+        voxel_cap=4096,
     )
     model = build_detector(model_cfg, runtime_cfg)
     tx, _ = build_optimizer({"OPTIMIZER": "adam", "LR": 1e-3}, 10, 1)
@@ -71,15 +74,13 @@ def test_dp_train_step_matches_single_device(rng):
     step8 = make_train_step(model, tx, mesh8, loss_key="center_loss")
     _, losses8 = step8(state, batch)
 
-    # dp=8 computes the mean of per-shard losses; with per-sample CenterNet
-    # normalization these differ only by normalization grouping — verify
-    # they agree to a loose tolerance and are finite
+    # with cross-replica batch-norm moments (models/layers.bn_cross_replica)
+    # and equal per-shard positive counts, the dp=8 step is the same math as
+    # dp=1 — only f32 reduction reassociation differs
     for k in losses1:
         a, b = float(losses1[k]), float(losses8[k])
         assert np.isfinite(a) and np.isfinite(b)
-        if k == "grad_norm":
-            continue  # telemetry; scales with local-shard normalization
-        assert abs(a - b) / max(abs(a), 1e-3) < 0.35, (k, a, b)
+        assert abs(a - b) / max(abs(a), 1e-3) < 1e-4, (k, a, b)
 
 
 def test_graft_entry_and_dryrun():
