@@ -173,4 +173,95 @@ class PointHeadSimple(nn.Module):
         return jnp.sum(sigmoid_focal_cls_loss(logits, onehot, w))
 
 
+class PointHeadBox(nn.Module):
+    """Point-wise classification + box regression head — PointRCNN's
+    first stage (reference dense_heads/point_head_box.py): foreground
+    points regress a full box via PointResidualCoder; decoded per-point
+    boxes become the second stage's proposals."""
+
+    num_classes: int
+    hidden: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        from ..utils.box_coder_utils import PointResidualCoder
+
+        x = batch_dict["point_features"]
+        valid = batch_dict.get("point_valid", jnp.ones(x.shape[0], bool))
+        h = x
+        for c in self.hidden:
+            h = nn.Dense(c, use_bias=False)(h)
+            h = MaskedBatchNorm()(h, valid, train)
+            h = nn.relu(h)
+        coder = PointResidualCoder()
+        batch_dict["point_cls_preds"] = nn.Dense(self.num_classes, name="cls")(h)
+        batch_dict["point_box_preds"] = nn.Dense(coder.code_size, name="box")(h)
+        return batch_dict
+
+    @staticmethod
+    def assign_targets(coords, valid, gt_boxes):
+        """Per-point class label + encoded box target from points-in-boxes
+        (reference PointHeadTemplate.assign_stack_targets with
+        ret_box_labels=True). coords [N, 4] (b, xyz); gt_boxes [B, G, 8]."""
+        from ..ops.boxes import points_in_boxes
+        from ..utils.box_coder_utils import PointResidualCoder
+
+        coder = PointResidualCoder()
+        n = coords.shape[0]
+        bidx = jnp.round(coords[:, 0]).astype(jnp.int32)
+        labels = jnp.zeros(n, jnp.int32)
+        box_t = jnp.zeros((n, coder.code_size), jnp.float32)
+        for b in range(gt_boxes.shape[0]):
+            gt_b = gt_boxes[b]
+            boxes = gt_b[:, :7]
+            cls = gt_b[:, 7].astype(jnp.int32)
+            bp = points_in_boxes(coords[:, 1:4], boxes) & (cls > 0)[:, None]
+            in_any = jnp.any(bp, axis=0) & (bidx == b) & valid
+            gi = jnp.argmax(bp, axis=0)
+            lab_b = jnp.where(in_any, cls[gi], 0)
+            tgt_b = coder.encode(boxes[gi], coords[:, 1:4], cls[gi])
+            sel = bidx == b
+            labels = jnp.where(sel, lab_b, labels)
+            box_t = jnp.where((sel & in_any)[:, None], tgt_b, box_t)
+        return labels, box_t
+
+    @staticmethod
+    def loss(batch_dict, gt_boxes):
+        """Focal cls + fg smooth-L1 box loss (reference
+        point_head_box.get_loss)."""
+        from ..utils.loss_utils import sigmoid_focal_cls_loss, weighted_smooth_l1_loss
+
+        logits = batch_dict["point_cls_preds"]
+        box_p = batch_dict["point_box_preds"]
+        coords = batch_dict["point_coords"]
+        valid = batch_dict.get("point_valid", jnp.ones(logits.shape[0], bool))
+        nc = logits.shape[-1]
+        labels, box_t = PointHeadBox.assign_targets(coords, valid, gt_boxes)
+        onehot = jax.nn.one_hot(jnp.maximum(labels, 0), nc + 1)[:, 1:]
+        fg = (labels > 0) & valid
+        num_pos = jnp.maximum(jnp.sum(fg), 1)
+        cls_w = valid.astype(jnp.float32) / num_pos
+        cls_loss = jnp.sum(sigmoid_focal_cls_loss(logits, onehot, cls_w))
+        reg_w = fg.astype(jnp.float32) / num_pos
+        reg_loss = jnp.sum(weighted_smooth_l1_loss(box_p, box_t, reg_w))
+        return {"point_loss_cls": cls_loss, "point_loss_box": reg_loss,
+                "point_loss": cls_loss + reg_loss}
+
+    @staticmethod
+    def generate_predicted_boxes(batch_dict):
+        """Flat per-point decoded boxes + scores (reference
+        PointHeadTemplate.generate_predicted_boxes)."""
+        from ..utils.box_coder_utils import PointResidualCoder
+
+        coder = PointResidualCoder()
+        logits = batch_dict["point_cls_preds"]
+        coords = batch_dict["point_coords"]
+        valid = batch_dict.get("point_valid", jnp.ones(logits.shape[0], bool))
+        probs = jax.nn.sigmoid(logits)
+        scores = jnp.where(valid, jnp.max(probs, axis=-1), 0.0)
+        cls_pred = jnp.argmax(probs, axis=-1).astype(jnp.int32) + 1
+        boxes = coder.decode(batch_dict["point_box_preds"], coords[:, 1:4], cls_pred)
+        return boxes, scores, cls_pred
+
+
 BACKBONES_POINT = {"PointNet2MSG": PointNet2MSG, "PointNet2Backbone": PointNet2MSG}

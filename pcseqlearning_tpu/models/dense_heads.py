@@ -450,6 +450,7 @@ class CenterHead(nn.Module):
         hm = jnp.where(jnp.abs(hm - pooled) < 1e-6, hm, 0.0)
 
         flat = hm.reshape(b, fy * fx * ncls)
+        k = min(k, flat.shape[1])
         scores, idx = jax.lax.top_k(flat, k)
         cls_id = idx % ncls
         spatial = idx // ncls

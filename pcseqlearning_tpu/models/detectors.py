@@ -40,22 +40,26 @@ class Detector3DTemplate(nn.Module):
 
     def setup(self):
         cfg = self.model_cfg
-        # VFE
-        vfe_cfg = cfg["VFE"]
-        name = vfe_cfg["NAME"]
-        if name in ("DynamicMeanVFE", "MeanVFE"):
-            self.vfe = DynamicMeanVFE(
-                voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
-                voxel_cap=self.voxel_cap,
-            )
-        elif name in ("DynPillarVFE", "DynamicPillarVFE"):
-            self.vfe = VFES[name](
-                voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
-                pillar_cap=self.voxel_cap,
-                num_filters=tuple(vfe_cfg.get("NUM_FILTERS", [64])),
-            )
+        # VFE (absent for point-based detectors, e.g. PointRCNN which works
+        # on the raw point table — reference detectors/pointrcnn.py)
+        if "VFE" in cfg:
+            vfe_cfg = cfg["VFE"]
+            name = vfe_cfg["NAME"]
+            if name in ("DynamicMeanVFE", "MeanVFE"):
+                self.vfe = DynamicMeanVFE(
+                    voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
+                    voxel_cap=self.voxel_cap,
+                )
+            elif name in ("DynPillarVFE", "DynamicPillarVFE"):
+                self.vfe = VFES[name](
+                    voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
+                    pillar_cap=self.voxel_cap,
+                    num_filters=tuple(vfe_cfg.get("NUM_FILTERS", [64])),
+                )
+            else:
+                raise KeyError(name)
         else:
-            raise KeyError(name)
+            self.vfe = None
 
         # 3D backbone (pillar models skip it)
         self.backbone_is_sparse = True
@@ -92,30 +96,43 @@ class Detector3DTemplate(nn.Module):
         else:
             self.backbone_3d = None
 
-        m2b = cfg.get("MAP_TO_BEV", {"NAME": "HeightCompression"})
-        if m2b["NAME"] == "PointPillarScatter":
-            self.map_to_bev = PointPillarScatterWrap(grid_size=self.grid_size)
+        self.is_point_based = cfg.get("DENSE_HEAD", {}).get("NAME") == "PointHeadBox"
+        if self.is_point_based:
+            # point-based detectors (PointRCNN) carry no BEV path at all
+            self.map_to_bev = None
+            self.backbone_2d = None
         else:
-            self.map_to_bev = MAP_TO_BEV[m2b["NAME"]]()
+            m2b = cfg.get("MAP_TO_BEV", {"NAME": "HeightCompression"})
+            if m2b["NAME"] == "PointPillarScatter":
+                self.map_to_bev = PointPillarScatterWrap(grid_size=self.grid_size)
+            else:
+                self.map_to_bev = MAP_TO_BEV[m2b["NAME"]]()
 
-        b2d = cfg.get("BACKBONE_2D", {"NAME": "BaseBEVBackbone"})
-        self.backbone_2d = BACKBONES_2D["BaseBEVBackbone"](
-            layer_nums=tuple(b2d.get("LAYER_NUMS", [5, 5])),
-            layer_strides=tuple(b2d.get("LAYER_STRIDES", [1, 2])),
-            num_filters=tuple(b2d.get("NUM_FILTERS", [128, 256])),
-            upsample_strides=tuple(int(u) for u in b2d.get("UPSAMPLE_STRIDES", [1, 2])),
-            num_upsample_filters=tuple(b2d.get("NUM_UPSAMPLE_FILTERS", [256, 256])),
-        )
+            b2d = cfg.get("BACKBONE_2D", {"NAME": "BaseBEVBackbone"})
+            self.backbone_2d = BACKBONES_2D["BaseBEVBackbone"](
+                layer_nums=tuple(b2d.get("LAYER_NUMS", [5, 5])),
+                layer_strides=tuple(b2d.get("LAYER_STRIDES", [1, 2])),
+                num_filters=tuple(b2d.get("NUM_FILTERS", [128, 256])),
+                upsample_strides=tuple(int(u) for u in b2d.get("UPSAMPLE_STRIDES", [1, 2])),
+                num_upsample_filters=tuple(b2d.get("NUM_UPSAMPLE_FILTERS", [256, 256])),
+            )
 
         # PFE (PV-RCNN keypoint branch)
         if "PFE" in cfg:
             from .pfe import VoxelSetAbstraction
 
             pfe_cfg = cfg["PFE"]
+            # PVRCNNPlusPlus uses vector-pool aggregation by default
+            # (reference pv_rcnn_plusplus.py + VectorPoolAggregationModule)
+            agg = str(pfe_cfg.get(
+                "AGGREGATION",
+                "vector_pool" if "PlusPlus" in str(cfg.get("NAME", "")) else "sa",
+            ))
             self.pfe = VoxelSetAbstraction(
                 voxel_size=self.voxel_size,
                 point_cloud_range=self.point_cloud_range,
                 num_keypoints=int(pfe_cfg.get("NUM_KEYPOINTS", 2048)),
+                aggregation=agg,
             )
         else:
             self.pfe = None
@@ -140,7 +157,11 @@ class Detector3DTemplate(nn.Module):
 
         head_cfg = cfg["DENSE_HEAD"]
         stride = 8 if (self.backbone_3d is not None and self.backbone_is_sparse) else 1
-        if head_cfg["NAME"] == "CenterHead":
+        if head_cfg["NAME"] == "PointHeadBox":
+            from .backbones_point import PointHeadBox
+
+            self.dense_head = PointHeadBox(num_classes=self.num_classes)
+        elif head_cfg["NAME"] == "CenterHead":
             self.dense_head = CenterHeadWrap(
                 num_classes=self.num_classes,
                 grid_size_xy=(self.grid_size[0], self.grid_size[1]),
@@ -169,16 +190,24 @@ class Detector3DTemplate(nn.Module):
             )
 
     def __call__(self, batch_dict, train: bool = False):
-        batch_dict = self.vfe(batch_dict, train)
+        if self.vfe is not None:
+            batch_dict = self.vfe(batch_dict, train)
         if self.backbone_3d is not None:
             batch_dict = self.backbone_3d(batch_dict, train)
-        batch_dict = self.map_to_bev(batch_dict, train)
+        if self.map_to_bev is not None:
+            batch_dict = self.map_to_bev(batch_dict, train)
         if self.pfe is not None:
             batch_dict = self.pfe(batch_dict, train)
-        batch_dict = self.backbone_2d(batch_dict, train)
+        if self.backbone_2d is not None:
+            batch_dict = self.backbone_2d(batch_dict, train)
         batch_dict = self.dense_head(batch_dict, train)
         if train:
-            losses = self.dense_head.loss(batch_dict)
+            if self.is_point_based:
+                from .backbones_point import PointHeadBox
+
+                losses = PointHeadBox.loss(batch_dict, batch_dict["gt_boxes"])
+            else:
+                losses = self.dense_head.loss(batch_dict)
             batch_dict["losses"] = losses
         if self.roi_head is not None:
             batch_dict = self._run_roi_stage(batch_dict, train)
@@ -191,7 +220,19 @@ class Detector3DTemplate(nn.Module):
         from . import roi_heads as rh
 
         num_rois = int(self.model_cfg.get("ROI_HEAD", {}).get("NMS_POST_MAXSIZE", 128))
-        if "center_preds" in batch_dict:
+        if self.is_point_based:
+            from .backbones_point import PointHeadBox
+
+            flat_boxes, flat_scores, _ = PointHeadBox.generate_predicted_boxes(batch_dict)
+            batch_dict["point_cls_scores"] = flat_scores
+            bidx = jnp.round(batch_dict["point_coords"][:, 0]).astype(jnp.int32)
+            B = int(batch_dict.get("batch_size", 1))
+            boxes = jnp.broadcast_to(flat_boxes[None], (B,) + flat_boxes.shape)
+            scores = jnp.where(
+                bidx[None, :] == jnp.arange(B, dtype=jnp.int32)[:, None],
+                flat_scores[None, :], -jnp.inf,
+            )
+        elif "center_preds" in batch_dict:
             boxes, scores, _, _ = self.dense_head.generate_predicted_boxes(batch_dict)
         else:
             boxes, cls_scores = self.dense_head.generate_predicted_boxes(batch_dict)
@@ -201,6 +242,8 @@ class Detector3DTemplate(nn.Module):
             return rh.proposal_layer(b, s, num_rois=num_rois)
 
         rois, roi_scores, roi_valid = jax.vmap(one)(boxes, scores)  # [B, R, 7]
+        if self.is_point_based:
+            roi_valid = roi_valid & jnp.isfinite(roi_scores)
         B, R = rois.shape[0], rois.shape[1]
         rois_flat = rois.reshape(B * R, 7)
         valid_flat = roi_valid.reshape(B * R)
@@ -229,7 +272,12 @@ class Detector3DTemplate(nn.Module):
             losses = dict(batch_dict.get("losses", {}))
             losses["rcnn_loss_cls"] = cls_l
             losses["rcnn_loss_reg"] = reg_l
-            base_key = "center_loss" if "center_preds" in batch_dict else "rpn_loss"
+            if self.is_point_based:
+                base_key = "point_loss"
+            elif "center_preds" in batch_dict:
+                base_key = "center_loss"
+            else:
+                base_key = "rpn_loss"
             losses["total_loss"] = losses.get(base_key, 0.0) + cls_l + reg_l
             batch_dict["losses"] = losses
         else:
@@ -382,4 +430,7 @@ DETECTORS = {
     "VoxelRCNN": build_detector,
     "PartA2Net": build_detector,
     "SECONDNetIoU": build_detector,
+    # point-based detector: PointNet2MSG backbone -> PointHeadBox proposals
+    # -> PointRCNNHead roipoint pooling (reference detectors/pointrcnn.py)
+    "PointRCNN": build_detector,
 }

@@ -258,8 +258,70 @@ class PartA2FCHead(nn.Module):
         return cls, reg
 
 
+class PointRCNNHead(nn.Module):
+    """RoI-point pooling head (reference roi_heads/pointrcnn_head.py +
+    ops/roipoint_pool3d): samples raw points inside each RoI, canonically
+    transforms them into the RoI frame, appends depth + point features,
+    and encodes with a shared-MLP PointNet before the FC cls/reg trunk."""
+
+    num_sampled: int = 128
+    xyz_up: Sequence[int] = (128, 128)
+    shared_mlp: Sequence[int] = (128, 256)
+
+    @nn.compact
+    def __call__(self, batch_dict, rois, roi_valid, train=False):
+        pts_bxyz = batch_dict["point_bxyz"]
+        xyz = pts_bxyz[:, 1:4]
+        bidx = jnp.round(pts_bxyz[:, 0]).astype(jnp.int32)
+        valid = batch_dict.get("point_valid", jnp.ones(xyz.shape[0], bool))
+        feats = batch_dict.get("point_features", batch_dict.get("point_feat", jnp.zeros((xyz.shape[0], 1))))
+        scores = batch_dict.get("point_cls_scores", jnp.ones(xyz.shape[0]))
+
+        r = rois.shape[0]
+        roi_b = batch_dict.get("roi_batch", jnp.zeros(r, jnp.int32))
+        # restrict pooling to the RoI's own sample via the validity mask
+        pv = valid[None, :] & (bidx[None, :] == roi_b[:, None])  # [R, N]
+        depth = jnp.linalg.norm(xyz, axis=-1, keepdims=True) / 70.0 - 0.5
+        ext = jnp.concatenate([feats, scores[:, None], depth], axis=-1)
+        pooled, empty = roi_pool.roipoint_pool3d_masked(
+            xyz, ext, rois, pv, num_sampled=self.num_sampled
+        )  # [R, S, 3+C]
+        local = pooled[..., :3]
+        # canonical rotation into the RoI frame (reference pointrcnn_head
+        # roipool3d_utils canonical transform)
+        c, s = jnp.cos(-rois[:, 6]), jnp.sin(-rois[:, 6])
+        lx = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
+        ly = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
+        canon = jnp.stack([lx, ly, local[..., 2]], axis=-1)
+        x = jnp.concatenate([canon, pooled[..., 3:]], axis=-1)
+
+        flat_v = jnp.broadcast_to((~empty)[:, None], (r, self.num_sampled)).reshape(-1)
+        h = x.reshape(r * self.num_sampled, -1)
+        for i, ch in enumerate(self.xyz_up):
+            h = nn.Dense(ch, use_bias=False, name=f"xyz_up{i}")(h)
+            h = MaskedBatchNorm(name=f"xyz_up_bn{i}")(h, flat_v, train)
+            h = nn.relu(h)
+        for i, ch in enumerate(self.shared_mlp):
+            h = nn.Dense(ch, use_bias=False, name=f"shared{i}")(h)
+            h = MaskedBatchNorm(name=f"shared_bn{i}")(h, flat_v, train)
+            h = nn.relu(h)
+        h = h.reshape(r, self.num_sampled, -1)
+        feat = jnp.max(jnp.where(empty[:, None, None], -jnp.inf, h), axis=1)
+        feat = jnp.where(empty[:, None], 0.0, feat)
+        cls, reg = _FCHead(name="head")(feat, roi_valid & ~empty, train)
+        return cls, reg
+
+
+class SECONDHead(PartA2FCHead):
+    """SECOND's RoI refinement rides the RoI-aware pooling trunk
+    (reference roi_heads/second_head.py pools BEV features; the point
+    pooling is the shared mechanism here)."""
+
+
 ROI_HEADS = {
     "VoxelRCNNHead": VoxelRCNNHead,
     "PVRCNNHead": PVRCNNHead,
     "PartA2FCHead": PartA2FCHead,
+    "PointRCNNHead": PointRCNNHead,
+    "SECONDHead": SECONDHead,
 }

@@ -54,7 +54,9 @@ def connected_components(e_src, e_dst, num_nodes, e_mask=None, max_iters=64):
         new = labels
         new = new.at[src].min(jnp.where(e_mask, m, jnp.int32(2**31 - 1)))
         new = new.at[dst].min(jnp.where(e_mask, m, jnp.int32(2**31 - 1)))
-        # pointer jumping: compress label chains
+        # pointer jumping: compress label chains (N-sized gathers are cheap
+        # next to the E-sized hook, so jump aggressively to cut rounds)
+        new = new[new]
         new = new[new]
         new = new[new]
         changed = jnp.any(new != labels)

@@ -10,10 +10,12 @@ TPU-native design (no atomics, no data-dependent probing):
   1. Bin reference points into cells of edge ``radius`` (spatial) keyed also
      on the integer frame id, hash the 4D cell with a spatial hash, and SORT
      points by hash (XLA radix sort) — equal-hash runs are contiguous.
-  2. For each query and each of the 27 spatial neighbor cells, binary-search
-     (searchsorted) the sorted hash array and scan up to ``cell_cap``
-     candidates with masked gathers.
-  3. Maintain the K nearest via a running top-k merge over the 27 offsets.
+  2. For each query and each of the 9 neighboring xy columns (cells are 2D
+     over (frame, x, y): lidar data is z-thin, so 9 column probes replace
+     27 3D-cell probes and z folds into the exact distance test),
+     binary-search (searchsorted) the sorted hash array and scan up to
+     ``cell_cap`` candidates via one packed row-gather.
+  3. Rank all probes' candidates with one top-k per query chunk.
 
 Differences vs the reference (all benign):
   * hash collisions can only ADD candidates; the exact distance test filters
@@ -56,7 +58,14 @@ _INVALID_HASH = jnp.uint32(0xFFFFFFFF)
 
 
 class HashGrid(NamedTuple):
-    """Sorted spatial-hash table over reference points."""
+    """Sorted spatial-hash table over reference points.
+
+    Point data is stored in SORTED order (sorted_fxyz/sorted_valid): a
+    query's candidates for one probe are then a CONTIGUOUS run of rows, so
+    the candidate read lowers to a vmapped dynamic-slice (one sequential
+    ~768B window per query) instead of cap random row-gathers through the
+    sorted_idx indirection — the difference between ~0.5 GB/s and
+    HBM-streaming rates on TPU."""
 
     sorted_hash: jnp.ndarray  # [N] uint32, ascending
     sorted_idx: jnp.ndarray  # [N] int32, original row of each slot
@@ -64,12 +73,20 @@ class HashGrid(NamedTuple):
     ref_valid: jnp.ndarray  # [N] bool
     origin: jnp.ndarray  # [3] spatial binning origin
     cell: jnp.ndarray  # [] spatial cell edge length
+    sorted_fxyz: jnp.ndarray  # [N, 4] ref_fxyz in slot order
+    sorted_valid: jnp.ndarray  # [N] ref_valid in slot order
 
 
 def _cells_of(fxyz, origin, cell):
+    """2D spatial cells keyed on (frame, cx, cy, 0): lidar point sets are
+    z-thin, so probing 3x3 xy-columns (9 probes) instead of 27 3D cells
+    covers the same radius ball — the z test folds into the exact distance
+    filter. Column occupancy replaces cell occupancy in the cell_cap
+    truncation bound."""
     f = jnp.round(fxyz[:, 0]).astype(jnp.int32)
-    cxyz = jnp.floor((fxyz[:, 1:4] - origin) / cell).astype(jnp.int32)
-    return jnp.concatenate([f[:, None], cxyz], axis=1)
+    cxy = jnp.floor((fxyz[:, 1:3] - origin[:2]) / cell).astype(jnp.int32)
+    zeros = jnp.zeros_like(f)
+    return jnp.concatenate([f[:, None], cxy, zeros[:, None]], axis=1)
 
 
 def build_hash_grid(ref_fxyz, cell_size, ref_valid=None):
@@ -93,12 +110,15 @@ def build_hash_grid(ref_fxyz, cell_size, ref_valid=None):
     h = jnp.where(ref_valid, _hash_cells(cells), _INVALID_HASH)
     idx = jnp.arange(n, dtype=jnp.int32)
     sorted_hash, sorted_idx = jax.lax.sort((h, idx), num_keys=1)
-    return HashGrid(sorted_hash, sorted_idx, ref_fxyz, ref_valid, origin, cell)
+    sorted_fxyz = ref_fxyz[sorted_idx]
+    sorted_valid = ref_valid[sorted_idx]
+    return HashGrid(sorted_hash, sorted_idx, ref_fxyz, ref_valid, origin, cell,
+                    sorted_fxyz, sorted_valid)
 
 
-# the 27 spatial offsets, frame offset always 0 (exact frame match)
+# the 9 xy-column offsets, frame offset always 0 (exact frame match)
 _OFFSETS = jnp.array(
-    [[0, dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    [[0, dx, dy, 0] for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
     dtype=jnp.int32,
 )
 
@@ -129,80 +149,79 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
     radius = jnp.asarray(radius, dtype=query_fxyz.dtype)
     r2 = radius * radius
 
-    qcells = _cells_of(query_fxyz, grid.origin, grid.cell)
-    qpos = query_fxyz  # distance over all 4 dims; frame diff is 0 in-frame
-
     big = jnp.asarray(jnp.inf, dtype=query_fxyz.dtype)
-    best_d = jnp.full((m, k), big, dtype=query_fxyz.dtype)
-    best_i = jnp.full((m, k), -1, dtype=jnp.int32)
-
-    ref_pos = grid.ref_fxyz
-
-    # probe hashes for all 27 offsets up front and keep only the FIRST
-    # occurrence of each hash per query: two offsets whose cells collide
-    # would otherwise scan the same run twice, and the duplicate candidates
-    # evict real neighbors from the top-K (the reference CUDA kernel compares
-    # exact keys, torch_hash_kernel.cu:362, so it never duplicates).
-    h_all = jax.vmap(lambda off: _hash_cells(qcells + off[None, :]))(_OFFSETS)  # [27, M]
     n_off = _OFFSETS.shape[0]
-    dup = jnp.zeros((n_off, m), dtype=bool)
-    for o in range(1, n_off):
-        dup = dup.at[o].set(jnp.any(h_all[:o] == h_all[o][None, :], axis=0))
-    first_occ = ~dup
 
-    # Two schedules for the candidate scan (identical semantics):
-    #  * vectorized: all 27 offsets' candidates materialize as one
-    #    [M, 27*cap] table and a single top_k ranks them — 27x fewer
-    #    sequential dependencies, the right trade below ~32k queries where
-    #    the table fits comfortably in HBM (latency-bound regime: ICP loops).
-    #  * streamed: fori_loop over offsets with a running top-K merge —
-    #    bounded memory for million-point proposal sweeps.
-    if m * n_off * cell_cap <= _VECTORIZE_MAX_SLOTS:
-        start = jnp.searchsorted(grid.sorted_hash, h_all.reshape(-1), side="left").astype(jnp.int32)
-        start = start.reshape(n_off, m)
-        slots = start[:, :, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, None, :]
-        in_range = slots < n
-        slots_c = jnp.minimum(slots, n - 1)
-        cand_h = grid.sorted_hash[slots_c]
-        valid = in_range & (cand_h == h_all[:, :, None]) & first_occ[:, :, None]
-        cand_ref = grid.sorted_idx[slots_c]  # [27, M, cap]
-        valid = valid & grid.ref_valid[cand_ref]
-        diff = ref_pos[cand_ref] - qpos[None, :, None, :]
+    # Candidate scan over a PACKED table: one 8-wide f32 row carries
+    # (f, x, y, z, valid, pad, pad, pad) so each probe window is a single
+    # vectorized row-gather. NO integer bits ride in the f32 array — TPUs
+    # flush denormal f32 (and canonicalize NaNs), which silently corrupts
+    # bitcast int payloads. Run membership comes from a start/end
+    # searchsorted pair; original indices are recovered at the end by
+    # gathering only the winning slots.
+    n_pad = n + cell_cap
+    packed = jnp.zeros((n_pad, 8), jnp.float32)
+    packed = packed.at[:n, 0:4].set(grid.sorted_fxyz)
+    packed = packed.at[n:, 0:4].set(3e38)
+    packed = packed.at[:n, 4].set(grid.sorted_valid.astype(jnp.float32))
+
+    def scan_chunk(q_chunk):
+        """One query chunk -> (best_d [Mc, k], best_i [Mc, k])."""
+        mc = q_chunk.shape[0]
+        qcells = _cells_of(q_chunk, grid.origin, grid.cell)
+        # probe hashes for the 9 offsets; keep only the FIRST occurrence of
+        # each hash per query: colliding offsets would otherwise scan the
+        # same run twice and duplicates would evict real neighbors from the
+        # top-K (the reference kernel compares exact keys,
+        # torch_hash_kernel.cu:362, so it never duplicates)
+        h_all = jax.vmap(lambda off: _hash_cells(qcells + off[None, :]))(_OFFSETS)
+        dup = jnp.zeros((n_off, mc), dtype=bool)
+        for o in range(1, n_off):
+            dup = dup.at[o].set(jnp.any(h_all[:o] == h_all[o][None, :], axis=0))
+        first_occ = ~dup
+
+        h_flat = h_all.reshape(-1)
+        start = jnp.searchsorted(grid.sorted_hash, h_flat, side="left") \
+            .astype(jnp.int32).reshape(n_off, mc)
+        end = jnp.searchsorted(grid.sorted_hash, h_flat, side="right") \
+            .astype(jnp.int32).reshape(n_off, mc)
+        slots = jnp.minimum(
+            start[:, :, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, None, :],
+            n_pad - 1,
+        )  # [9, Mc, cap]
+        w = packed[slots]  # [9, Mc, cap, 8] — one row-gather
+        in_run = slots < end[:, :, None]
+        valid = in_run & (w[..., 4] > 0.5) & first_occ[..., None]
+        diff = w[..., 0:4] - q_chunk[None, :, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         valid = valid & (d2 <= r2)
         d2 = jnp.where(valid, d2, big)
-        cand_ref = jnp.where(valid, cand_ref, -1)
-        d2 = jnp.transpose(d2, (1, 0, 2)).reshape(m, n_off * cell_cap)
-        cand_ref = jnp.transpose(cand_ref, (1, 0, 2)).reshape(m, n_off * cell_cap)
+        slot_or_neg = jnp.where(valid, slots, -1)
+        d2 = jnp.transpose(d2, (1, 0, 2)).reshape(mc, n_off * cell_cap)
+        cand_slot = jnp.transpose(slot_or_neg, (1, 0, 2)).reshape(mc, n_off * cell_cap)
         neg_top, top_pos = jax.lax.top_k(-d2, k)
-        best_d = -neg_top
-        best_i = jnp.take_along_axis(cand_ref, top_pos, axis=1)
+        best_slot = jnp.take_along_axis(cand_slot, top_pos, axis=1)  # [Mc, k]
+        # original row ids: one small [Mc, k] gather of the winning slots
+        best_ref = jnp.where(
+            best_slot >= 0,
+            grid.sorted_idx[jnp.clip(best_slot, 0, n - 1)],
+            -1,
+        )
+        return -neg_top, best_ref
+
+    # bound per-kernel size: big query sets run as a lax.map over fixed
+    # chunks (one fused mega-kernel at M~400k faults the TPU)
+    chunk = max(1, _VECTORIZE_MAX_SLOTS // (n_off * cell_cap))
+    if m <= chunk:
+        best_d, best_i = scan_chunk(query_fxyz)
     else:
-        def body(o, carry):
-            best_d, best_i = carry
-            h_q = h_all[o]
-            start = jnp.searchsorted(grid.sorted_hash, h_q, side="left").astype(jnp.int32)
-            slots = start[:, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, :]  # [M, cap]
-            in_range = slots < n
-            slots_c = jnp.minimum(slots, n - 1)
-            cand_h = grid.sorted_hash[slots_c]
-            valid = in_range & (cand_h == h_q[:, None])
-            cand_ref = grid.sorted_idx[slots_c]  # [M, cap]
-            cand_valid_ref = grid.ref_valid[cand_ref]
-            diff = ref_pos[cand_ref] - qpos[:, None, :]  # [M, cap, 4]
-            d2 = jnp.sum(diff * diff, axis=-1)
-            valid = valid & cand_valid_ref & (d2 <= r2) & first_occ[o][:, None]
-            d2 = jnp.where(valid, d2, big)
-            cand_ref = jnp.where(valid, cand_ref, -1)
-
-            merged_d = jnp.concatenate([best_d, d2], axis=1)  # [M, K+cap]
-            merged_i = jnp.concatenate([best_i, cand_ref], axis=1)
-            neg_top, top_pos = jax.lax.top_k(-merged_d, k)
-            best_d = -neg_top
-            best_i = jnp.take_along_axis(merged_i, top_pos, axis=1)
-            return best_d, best_i
-
-        best_d, best_i = jax.lax.fori_loop(0, n_off, body, (best_d, best_i))
+        n_chunks = -(-m // chunk)
+        pad = n_chunks * chunk - m
+        qp = jnp.concatenate([query_fxyz, jnp.full((pad, 4), 3e38, query_fxyz.dtype)])
+        qp = qp.reshape(n_chunks, chunk, 4)
+        best_d, best_i = jax.lax.map(scan_chunk, qp)
+        best_d = best_d.reshape(n_chunks * chunk, k)[:m]
+        best_i = best_i.reshape(n_chunks * chunk, k)[:m]
 
     mask = jnp.isfinite(best_d) & query_valid[:, None]
     best_i = jnp.where(mask, best_i, -1)

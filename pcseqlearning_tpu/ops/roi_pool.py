@@ -99,6 +99,35 @@ def roipoint_pool3d(points_xyz, point_feats, rois, num_sampled=512, point_valid=
     return pooled, empty
 
 
+@functools.partial(jax.jit, static_argnames=("num_sampled",))
+def roipoint_pool3d_masked(points_xyz, point_feats, rois, pair_valid, num_sampled=512):
+    """roipoint_pool3d with a per-(roi, point) validity mask [R, N]
+    (e.g. restricting each RoI to its own batch sample). Same
+    repeats-first-fill semantics as roipoint_pool3d.
+
+    Returns pooled_pts [R, S, 3+C] (xyz CENTERED on the RoI, reference
+    pointrcnn_head canonical input) and empty_mask [R].
+    """
+    n = points_xyz.shape[0]
+    local = points_xyz[None, :, :] - rois[:, None, 0:3]
+    # rotated inside test in the RoI frame
+    canon = _to_local(points_xyz, rois)
+    half = rois[:, None, 3:6] / 2.0
+    inside = jnp.all(jnp.abs(canon) < half + 1e-6, axis=-1) & pair_valid
+    order_key = jnp.where(inside, jnp.arange(n, dtype=jnp.int32)[None, :], n)
+    picked = jnp.sort(order_key, axis=1)[:, :num_sampled]
+    ok = picked < n
+    first = picked[:, :1]
+    picked = jnp.where(ok, picked, jnp.minimum(first, n - 1))
+    feats = jnp.concatenate([points_xyz, point_feats], axis=-1)
+    pooled = feats[picked]
+    # center xyz on the RoI (rotation happens in the head)
+    pooled = pooled.at[..., :3].add(-rois[:, None, 0:3])
+    empty = ~jnp.any(inside, axis=1)
+    pooled = jnp.where(empty[:, None, None], 0.0, pooled)
+    return pooled, empty
+
+
 @functools.partial(jax.jit, static_argnames=("grid_size",))
 def roi_grid_points(rois, grid_size=6):
     """Global xyz of each RoI's dense GxGxG grid-cell centers (PV-RCNN RoI

@@ -121,6 +121,49 @@ def _smooth_velo_kernel(velos, diffs, active, window, weight0=1.0, weight=10.0, 
     return jnp.where(active[None, :, None], v, velos)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _claim_points_kernel(query_xyz, query_valid, tile_xyz, tile_mask, radius):
+    """Assign each query point to the component of its nearest tile point
+    within ``radius`` (the trace-extraction NN, reference
+    cluster_tracking.py:342-360) — gate by the 2 nearest component centers
+    (one [C, N] matmul + top-k), then exact distances against the
+    component's [Pe] tile. O(N * 2 * Pe), no hash grid, MXU-friendly.
+
+    Returns (comp [N] int32 (-1 none), src_z [N] — z of the matched tile
+    point, for the host-side z-band filter)."""
+    hi = jax.lax.Precision.HIGHEST
+    C, Pe, _ = tile_xyz.shape
+    N = query_xyz.shape[0]
+    w = tile_mask.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    centers = jnp.sum(tile_xyz * w[..., None], axis=1) / cnt[:, None]
+    nonempty = jnp.sum(tile_mask, axis=1) > 0
+
+    c2 = jnp.sum(centers * centers, axis=-1)
+    n2 = jnp.sum(query_xyz * query_xyz, axis=-1)
+    d2cn = c2[:, None] + n2[None, :] - 2.0 * jnp.matmul(centers, query_xyz.T, precision=hi)
+    d2cn = jnp.where(nonempty[:, None], d2cn, jnp.inf)
+    _, near2 = jax.lax.top_k(-d2cn.T, 2)  # [N, 2]
+    near2 = near2.astype(jnp.int32)
+    tiles = tile_xyz[near2]  # [N, 2, Pe, 3]
+    tmask = tile_mask[near2]
+    dd = jnp.sum((tiles - query_xyz[:, None, None, :]) ** 2, axis=-1)
+    dd = jnp.where(tmask, dd, jnp.inf)
+    mind = jnp.min(dd, axis=2)  # [N, 2]
+    argp = jnp.argmin(dd, axis=2)  # [N, 2]
+    ok = (mind <= radius * radius) & nonempty[near2] & query_valid[:, None]
+    mind = jnp.where(ok, mind, jnp.inf)
+    pick = jnp.argmin(mind, axis=1)
+    any_ok = jnp.any(ok, axis=1)
+    comp = jnp.where(any_ok, jnp.take_along_axis(near2, pick[:, None], 1)[:, 0], -1)
+    pbest = jnp.take_along_axis(argp, pick[:, None], 1)[:, 0]
+    zsel = jnp.take_along_axis(
+        jnp.take_along_axis(tiles[..., 2], pick[:, None, None], 1)[:, 0],
+        pbest[:, None], 1,
+    )[:, 0]
+    return comp, zsel
+
+
 @functools.partial(jax.jit, static_argnames=("cell_cap",))
 def _nn_match(ref_xyz, ref_valid, query_xyz, query_valid, radius, cell_cap=48):
     """Nearest ref point within radius for each query (k=1 NN_GRAPH)."""
@@ -237,11 +280,18 @@ class ClusterTracking:
         diam *= 2
         comp_valid0 = (deg > 0.5) & (diam < 12.5)
 
-        P = int(self.model_cfg.get("TRACK_POINTS_PER_COMPONENT", 128))
+        P = int(self.model_cfg.get("TRACK_POINTS_PER_COMPONENT", 256))
+        P_ext = int(self.model_cfg.get("TRACK_EXTRACT_POINTS", 512))
         Q = min(int(self.model_cfg.get("TRACK_NUM_CANDIDATES", 512)), n_cap)
         comp_xyz, comp_pmask = pack_components(
             frame.xyz.astype(np.float32), frame.component,
             ~frame.stationary, C, P,
+        )
+        # denser tile for member-point extraction (all anchor points incl.
+        # stationary-flagged ones, like the host walk's NN source)
+        comp_ext, ext_mask = pack_components(
+            frame.xyz.astype(np.float32), frame.component,
+            np.ones(len(frame.xyz), bool), C, P_ext,
         )
 
         levels = tuple(
@@ -257,6 +307,7 @@ class ClusterTracking:
             angle_threshold_deg=self.angle_threshold,
             min_move_frame=self.min_move_frame, max_icp_iter=self.max_icp_iter,
             sel_margin=float(self.model_cfg.get("SELECTION_MARGIN", max(self.radius_list) + 4.0)),
+            comp_ext=comp_ext, ext_mask=ext_mask,
         )
         valid_final = out["valid_final"][:num_components]
         moving = out["moving"][:num_components]
@@ -706,6 +757,10 @@ class ClusterTracking:
         component_hit = np.zeros(num_components, np.int64)
         ex_frames = np.round(extracted.fxyz[:, 0]).astype(int)
 
+        from .tracking_batched import pack_components
+
+        Pe = int(self.model_cfg.get("TRACE_TILE_POINTS", 1024))
+        C = bucket_size(num_components, base=64)
         for fid in np.unique(ex_frames):
             fb = seq_boxes.frame == fid
             rm = all_points.frame == fid
@@ -717,18 +772,25 @@ class ClusterTracking:
             ex_xyz = extracted.fxyz[em][:, 1:4]
             ex_comp = extracted.component[em]
             ex_mov = extracted.moving[em]
+            if len(ex_xyz) == 0:
+                continue
 
-            # NN from full-res points to extracted points, radius*sqrt(3)
-            cap_r = bucket_size(max(len(ex_xyz), 1))
-            cap_q = bucket_size(n_ref)
-            rx, rv = pad_rows(ex_xyz.astype(np.float32), cap_r, fill=1e8)
-            qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
-            nn_idx, nn_ok = _nn_match(
-                jnp.asarray(rx), jnp.asarray(rv), jnp.asarray(qx), jnp.asarray(qv),
-                jnp.asarray(self.nn_radius * 1.732, jnp.float32),
+            # claim full-res points via per-component extracted tiles
+            # (radius*sqrt(3), reference 342-360) — one matmul + tile test
+            # instead of a hash-grid query per frame
+            tile, tmask = pack_components(
+                ex_xyz.astype(np.float32), ex_comp.astype(np.int64),
+                np.ones(len(ex_xyz), bool), C, Pe,
             )
-            nn_idx = np.asarray(nn_idx)[:n_ref]
-            nn_ok = np.asarray(nn_ok)[:n_ref]
+            cap_q = bucket_size(n_ref)
+            qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
+            comp_j, zsel = _claim_points_kernel(
+                jnp.asarray(qx), jnp.asarray(qv), jnp.asarray(tile),
+                jnp.asarray(tmask), jnp.asarray(self.nn_radius * 1.732, jnp.float32),
+            )
+            comp_np = np.asarray(comp_j)[:n_ref]
+            zsel = np.asarray(zsel)[:n_ref]
+            ok = (comp_np >= 0) & (comp_np < num_components)
 
             # component center/diameter in BEV for edge filtering (360-368)
             cc = np.zeros((num_components, 2), np.float32)
@@ -739,19 +801,17 @@ class ClusterTracking:
             rad = np.linalg.norm(ex_xyz[:, :2] - cc[ex_comp], axis=-1)
             cd = np.zeros(num_components, np.float32)
             np.maximum.at(cd, ex_comp, rad)
+            mov_by_comp = np.zeros(num_components, bool)
+            mov_by_comp[ex_comp] = ex_mov
 
-            e_ext = np.clip(nn_idx, 0, max(len(ex_xyz) - 1, 0))
-            ok = nn_ok.copy()
-            if len(ex_xyz):
-                zdiff = ex_xyz[e_ext, 2] - ref_xyz[:, 2]
-                ok &= (zdiff < 0.5) & (zdiff > -0.05)
-                dist = np.linalg.norm(ref_xyz[:, :2] - cc[ex_comp[e_ext]], axis=-1)
-                ok &= dist < cd[ex_comp[e_ext]] + 0.05
-            else:
-                ok &= False
+            comp_c = np.clip(comp_np, 0, num_components - 1)
+            zdiff = zsel - ref_xyz[:, 2]
+            ok &= (zdiff < 0.5) & (zdiff > -0.05)
+            dist = np.linalg.norm(ref_xyz[:, :2] - cc[comp_c], axis=-1)
+            ok &= dist < cd[comp_c] + 0.05
 
             sel = np.nonzero(ok)[0]
-            comp_sel = ex_comp[e_ext[sel]]
+            comp_sel = comp_np[sel]
             fxyz_sel = np.concatenate(
                 [np.full((len(sel), 1), fid, np.float32), ref_xyz[sel]], axis=1
             )
@@ -759,36 +819,36 @@ class ClusterTracking:
             full.component.append(comp_sel)
             full.segmentation_label.append(all_points.segmentation_label[rm][sel])
             full.original_indices.append(np.nonzero(rm)[0][sel])
-            full.moving.append(ex_mov[e_ext[sel]])
+            full.moving.append(mov_by_comp[comp_sel])
 
-            # ----- box IoU update (382-414) -----
+            # ----- box IoU update (382-414), vectorized over components -----
             if fb.any() and len(sel):
                 fboxes = seq_boxes.attr[fb]
                 b_idx = np.nonzero(fb)[0]
-                cap_b = bucket_size(len(b_idx), base=32)
+                Bf = len(b_idx)
+                cap_b = bucket_size(Bf, base=32)
                 boxes_p, bvalid = pad_rows(fboxes.astype(np.float32), cap_b)
                 cap_p = bucket_size(n_ref)
                 pts_p, pvalid = pad_rows(ref_xyz.astype(np.float32), cap_p, fill=1e8)
                 bp = np.asarray(
                     box_ops.points_in_boxes(jnp.asarray(pts_p), jnp.asarray(boxes_p))
-                )[: len(b_idx), :n_ref]
+                )[:Bf, :n_ref]
                 ref_gt = np.where(bp.any(0), bp.argmax(0), -1)
-                for c in np.unique(comp_sel):
-                    cm = comp_sel == c
-                    members = sel[cm]
-                    in_counts = bp[:, members].sum(1)
-                    if in_counts.max() == 0:
-                        continue
-                    abox = int(in_counts.argmax())
-                    m1 = ref_gt == abox
-                    mask = np.zeros(n_ref, bool)
-                    mask[members] = True
-                    iou = (mask & m1).sum() / ((mask | m1).sum() + 1e-6)
-                    if iou > 0.7:
-                        component_hit[c] += 1
-                    gi = b_idx[abox]
-                    if iou > seq_boxes.best_iou[gi]:
-                        seq_boxes.best_iou[gi] = iou
+                gt_sel = ref_gt[sel]
+                pair_ok = gt_sel >= 0
+                inter = np.bincount(
+                    comp_sel[pair_ok] * Bf + gt_sel[pair_ok],
+                    minlength=num_components * Bf,
+                ).reshape(num_components, Bf)
+                cnt_c = np.bincount(comp_sel, minlength=num_components)
+                m1cnt = np.bincount(ref_gt[ref_gt >= 0], minlength=Bf)
+                abox = inter.argmax(1)
+                inter_best = inter.max(1)
+                has = inter_best > 0
+                union = cnt_c + m1cnt[abox] - inter_best
+                iou_c = np.where(has, inter_best / (union + 1e-6), 0.0)
+                component_hit[: num_components] += (iou_c > 0.7).astype(np.int64)
+                np.maximum.at(seq_boxes.best_iou, b_idx[abox[has]], iou_c[has])
 
         out = EDict(
             fxyz=np.concatenate(full.fxyz, axis=0) if full.fxyz else np.zeros((0, 4), np.float32),

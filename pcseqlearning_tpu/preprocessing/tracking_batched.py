@@ -233,9 +233,9 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     """One walk step: candidate selection + ICP pyramid + velocity
     smoothing + stopping rules + member-point extraction, all per-component
     batched. Mirrors the reference step (cluster_tracking.py:553-727)."""
-    (window_xyz, window_valid, window_usable, comp_pmask, comp_diameter,
-     dist_comp, comp_valid0, nn_radius, angle_regularizer, reg_error_coeff,
-     angle_threshold_deg, sel_margin) = consts
+    (window_xyz, window_valid, window_usable, comp_pmask, comp_ext, ext_mask,
+     comp_diameter, dist_comp, comp_valid0, nn_radius, angle_regularizer,
+     reg_error_coeff, angle_threshold_deg, sel_margin) = consts
     (cur_pts, last_center, stopped, moving, last_velo, has_last_velo,
      transforms, comp_velos, comp_centers, comp_center_diffs,
      reg_errors, edge_ratios, extract_comp, reach_min, reach_max) = carry
@@ -259,16 +259,25 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     cur_pts = cur_pts + (trans * track_dir * active)[:, None, :]
     T_cum = T_cum.at[:, :3, 3].add(trans * track_dir * active)
 
-    # ---- candidate selection: Q nearest next-frame points per component
+    # ---- candidate selection: Q next-frame points per component.
+    # CRITICAL: the in-ball subset must be UNBIASED — taking the Q *nearest*
+    # points center-biases the sample when the object has more than Q
+    # points, and ICP against a center-biased sample pulls the component
+    # back toward its current position instead of onto the object. Core
+    # points (within the object's own extent) get priority, ties broken by
+    # a per-point hash so the subset is an even random sample.
     centers = _masked_center(cur_pts, comp_pmask)
     c2 = jnp.sum(centers * centers, axis=-1)
     n2 = jnp.sum(nxt_xyz * nxt_xyz, axis=-1)
     cross = jnp.matmul(centers, nxt_xyz.T, precision=_HI)
     d2cn = c2[:, None] + n2[None, :] - 2.0 * cross  # [C, N]
     sel_r = comp_diameter * 0.5 + sel_margin
-    score = jnp.where(
-        nxt_ok[None, :] & (d2cn <= (sel_r * sel_r)[:, None]), -d2cn, -jnp.inf
-    )
+    core_r = comp_diameter * 0.5 + 1.0
+    in_ball = nxt_ok[None, :] & (d2cn <= (sel_r * sel_r)[:, None])
+    in_core = d2cn <= (core_r * core_r)[:, None]
+    pidx = jnp.arange(N, dtype=jnp.uint32)
+    rand01 = (pidx * jnp.uint32(2654435761) >> 12).astype(jnp.float32) / jnp.float32(1 << 20)
+    score = jnp.where(in_ball, in_core.astype(jnp.float32) * 2.0 + rand01[None, :], -jnp.inf)
     neg_d2, cand_idx = jax.lax.approx_max_k(score, Q)
     cand_sel = jnp.isfinite(neg_d2)
     cand_idx = jnp.clip(cand_idx, 0, N - 1).astype(jnp.int32)
@@ -281,8 +290,20 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     edge_ratio = jnp.zeros((C,), jnp.float32)
     for li, (vx, vy, vz, radius, sdelta) in enumerate(levels):
         vs = jnp.asarray([vx, vy, vz], jnp.float32)
+        # cross-component exclusivity (the reference's backward edges go to
+        # the GLOBALLY nearest moving point, registration_utils.py:133-138):
+        # a candidate point participates only in the component whose moved
+        # points are nearest, else overlap regions pull components onto
+        # their neighbors. One [C, Q, P] distance + scatter-min per level.
+        d2cp = _pair_d2(cand_xyz, cur_pts)
+        d2cp = jnp.where(comp_pmask[:, None, :], d2cp, jnp.inf)
+        mind_cp = jnp.min(d2cp, axis=2)  # [C, Q]
+        flat_idx = jnp.where(cand_usable, cand_idx, N).reshape(-1)
+        flat_d = jnp.where(cand_usable, mind_cp, jnp.inf).reshape(-1)
+        best_cp = jax.ops.segment_min(flat_d, flat_idx, num_segments=N + 1)[:N]
+        excl = cand_usable & (mind_cp <= best_cp[cand_idx])
         m_xyz, m_mask = _voxel_dedup(cur_pts, comp_pmask, vs)
-        r_xyz, r_mask = _voxel_dedup(cand_xyz, cand_usable, vs)
+        r_xyz, r_mask = _voxel_dedup(cand_xyz, excl, vs)
         T0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (C, 4, 4))
         T_l, l1_l, ratio_l = _icp_level(
             m_xyz, m_mask, r_xyz, r_mask, T0,
@@ -353,26 +374,43 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     reach_min = jnp.where(active & (track_dir == -1) & ~new_stopped, pos_c, reach_min)
     reach_max = jnp.where(active & (track_dir == 1) & ~new_stopped, pos_c, reach_max)
 
-    # ---- NN member-point extraction with nearest-component claim
-    # resolution (reference 710-721: each next-frame point joins the
-    # component of its nearest moved point within nn_radius)
-    d2x = _pair_d2(cand_xyz, cur_pts)  # [C, Q, P]
-    d2x = jnp.where(comp_pmask[:, None, :], d2x, jnp.inf)
-    mind = jnp.min(d2x, axis=2)  # [C, Q]
-    claim = (
-        cand_valid & (mind <= nn_radius * nn_radius)
-        & ~new_stopped[:, None] & active
+    # ---- NN member-point extraction over ALL next-frame points
+    # (reference 710-721: each next-frame point joins the component of its
+    # nearest moved point within nn_radius). Every point tests its 2
+    # nearest component CENTERS (updated post-ICP), then the exact
+    # point-to-moved-tile distance decides — O(N * 2 * P), independent of
+    # the candidate budget Q.
+    centers_post = last_center_new
+    c2p = jnp.sum(centers_post * centers_post, axis=-1)
+    d2cn_post = c2p[:, None] + n2[None, :] - 2.0 * jnp.matmul(
+        centers_post, nxt_xyz.T, precision=_HI
+    )  # [C, N]
+    comp_open = ~new_stopped & (jnp.sum(ext_mask, axis=1) > 0)
+    d2gate = jnp.where(comp_open[:, None], d2cn_post, jnp.inf)
+    _, near2 = jax.lax.top_k(-d2gate.T, 2)  # [N, 2]
+    near2 = near2.astype(jnp.int32)
+    # full-resolution member test: cur_pts == T_cum(anchor pack), so the
+    # denser extraction tile moves by the same accumulated transform
+    moved_ext = jnp.einsum(
+        "cij,cpj->cpi", T_cum[:, :3, :3], comp_ext, precision=_HI
+    ) + T_cum[:, :3, 3][:, None, :]
+    tiles = moved_ext[near2]  # [N, 2, Pe, 3]
+    tmask = ext_mask[near2]  # [N, 2, Pe]
+    dd = jnp.sum((tiles - nxt_xyz[:, None, None, :]) ** 2, axis=-1)
+    dd = jnp.where(tmask, dd, jnp.inf)
+    mind2 = jnp.min(dd, axis=2)  # [N, 2]
+    claim2 = (
+        (mind2 <= nn_radius * nn_radius)
+        & comp_open[near2] & nxt_ok[:, None] & active
     )
-    flat_idx = jnp.where(claim, cand_idx, N).reshape(-1)
-    flat_d = jnp.where(claim, mind, jnp.inf).reshape(-1)
-    best_d = jax.ops.segment_min(flat_d, flat_idx, num_segments=N + 1)[:N]
-    comp_id = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, Q))
-    winner = claim & (mind <= best_d[cand_idx])
-    flat_comp = jnp.where(winner.reshape(-1), comp_id.reshape(-1), C)
-    best_comp = jax.ops.segment_min(flat_comp, flat_idx, num_segments=N + 1)[:N]
-    claimed = best_comp < C
+    mind2 = jnp.where(claim2, mind2, jnp.inf)
+    pick = jnp.argmin(mind2, axis=1)
+    any_claim = jnp.any(claim2, axis=1)
+    best_comp = jnp.where(
+        any_claim, jnp.take_along_axis(near2, pick[:, None], axis=1)[:, 0], -1
+    )
     extract_comp = extract_comp.at[pos_c].set(
-        jnp.where(claimed & active, best_comp, extract_comp[pos_c])
+        jnp.where(any_claim & active, best_comp, extract_comp[pos_c])
     )
 
     reg_errors = reg_errors.at[:, pos_c].set(jnp.where(active, l1_err, reg_errors[:, pos_c]))
@@ -395,6 +433,7 @@ def track_window_batched(
     interval, levels, num_candidates,
     nn_radius, angle_regularizer, reg_error_coeff, angle_threshold_deg,
     min_move_frame, max_icp_iter=80, sel_margin=6.0,
+    comp_ext=None, ext_mask=None,
 ):
     """Host-driven walk over the compiled batched step (both directions).
 
@@ -411,10 +450,13 @@ def track_window_batched(
     for lo, hi, v in ((0, 10, 1.0), (10, 40, 0.5), (40, 100, 0.3), (100, 200, 0.2), (200, 400, 0.1)):
         dist_comp[(comp_deg >= lo) & (comp_deg < hi)] = v
 
+    if comp_ext is None:
+        comp_ext, ext_mask = comp_xyz, comp_pmask
     consts = (
         jnp.asarray(window_xyz), jnp.asarray(window_valid),
         jnp.asarray(window_valid & ~window_stationary),
-        jnp.asarray(comp_pmask), jnp.asarray(comp_diameter),
+        jnp.asarray(comp_pmask), jnp.asarray(comp_ext), jnp.asarray(ext_mask),
+        jnp.asarray(comp_diameter),
         jnp.asarray(dist_comp), jnp.asarray(comp_valid0),
         jnp.asarray(nn_radius, jnp.float32),
         jnp.asarray(angle_regularizer, jnp.float32),

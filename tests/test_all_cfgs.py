@@ -1,0 +1,76 @@
+"""Every committed YAML config must build (VERDICT r1: a committed config
+named an unregistered detector). Detector configs additionally run one
+train-mode forward on a tiny batch."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MODEL_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/waymo_models/*.yaml")))
+REG_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/waymo_models/registration/*.yaml")))
+DATA_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/dataset_configs/**/*.yaml"), recursive=True))
+OPT_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/optimizers/*.yaml")))
+
+
+def _load(path):
+    from pcseqlearning_tpu.config import cfg_from_yaml_file
+    from pcseqlearning_tpu.utils.edict import EDict
+
+    c = EDict()
+    cfg_from_yaml_file(path, c)
+    return c
+
+
+@pytest.mark.parametrize("path", MODEL_CFGS, ids=[os.path.basename(p) for p in MODEL_CFGS])
+def test_detector_cfg_builds_and_runs(path):
+    import jax
+    import jax.numpy as jnp
+
+    from pcseqlearning_tpu.models import build_network
+    from pcseqlearning_tpu.models.detectors import DETECTORS
+
+    c = _load(path)
+    assert "MODEL" in c and "NAME" in c.MODEL, path
+    assert c.MODEL.NAME in DETECTORS, f"{path} names unregistered detector {c.MODEL.NAME}"
+
+    # tiny geometry so init compiles fast; the cfg's module topology is
+    # what is under test
+    runtime_cfg = dict(
+        data_cfg={"POINT_CLOUD_RANGE": [-6.4, -6.4, -1.0, 6.4, 6.4, 2.2],
+                  "VOXEL_SIZE": [0.4, 0.4, 0.2]},
+        class_names=list(c.CLASS_NAMES),
+        voxel_cap=1024,
+    )
+    model = build_network(c.MODEL, runtime_cfg)
+
+    rng = np.random.RandomState(0)
+    n = 512
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.randint(0, 2, n)
+    pts[:, 1:3] = rng.rand(n, 2) * 12 - 6
+    pts[:, 3] = rng.rand(n) * 2.5 - 0.8
+    gt = np.zeros((2, 2, 8), np.float32)
+    gt[:, 0] = [1.0, 1.0, 0.5, 1.8, 1.8, 1.2, 0.3, 1]
+    batch = {
+        "point_bxyz": jnp.asarray(pts),
+        "point_feat": jnp.asarray(rng.rand(n, 1).astype(np.float32)),
+        "batch_size": 2,
+        "gt_boxes": jnp.asarray(gt),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"])
+    losses = out["losses"]
+    total = sum(float(v) for k, v in losses.items() if k.endswith("loss"))
+    assert np.isfinite(total), (path, {k: float(v) for k, v in losses.items()})
+    if "ROI_HEAD" in c.MODEL:
+        assert "total_loss" in losses and np.isfinite(float(losses["total_loss"]))
+
+
+@pytest.mark.parametrize("path", REG_CFGS + DATA_CFGS + OPT_CFGS,
+                         ids=[os.path.relpath(p, ROOT) for p in REG_CFGS + DATA_CFGS + OPT_CFGS])
+def test_support_cfg_parses(path):
+    c = _load(path)
+    assert len(c) > 0, path

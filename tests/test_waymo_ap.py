@@ -1,0 +1,69 @@
+"""Native Waymo-style AP/APH (runtime/eval_utils.waymo_style_ap) against a
+hand-computed fixture: L1/L2 difficulty handling, heading-weighted APH,
+don't-care out-of-level matches, and range buckets."""
+
+import numpy as np
+
+
+def _fixture():
+    gt = [dict(
+        name=np.array(["Vehicle", "Vehicle"]),
+        gt_boxes_lidar=np.array([
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],
+            [40.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],
+        ], np.float32),
+        difficulty=np.array([0, 0]),
+        num_points_in_gt=np.array([10, 3]),  # -> difficulty 1, 2
+    )]
+    det = [dict(
+        name=np.array(["Vehicle", "Vehicle", "Vehicle"]),
+        score=np.array([0.9, 0.8, 0.7], np.float32),
+        boxes_lidar=np.array([
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, np.pi / 2],  # TP on G0 (square box), heading off 90deg
+            [40.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],       # TP on G1 (level-2 GT)
+            [10.0, 10.0, 0.5, 4.0, 4.0, 1.5, 0.0],      # FP
+        ], np.float32),
+    )]
+    return det, gt
+
+
+def test_waymo_style_ap_fixture():
+    from pcseqlearning_tpu.runtime.eval_utils import waymo_style_ap
+
+    det, gt = _fixture()
+    _, r = waymo_style_ap(det, gt, ["Vehicle"])
+    # L1: G0 only; D1's match is a level-2 GT -> don't care; D0 TP, D2 FP
+    assert abs(r["Vehicle/L1/AP"] - 1.0) < 1e-6
+    assert abs(r["Vehicle/L1/APH"] - 0.5) < 1e-6  # 90deg heading error
+    # L2: both GTs; D0 TP (h=0.5), D1 TP (h=1), D2 FP
+    assert abs(r["Vehicle/L2/AP"] - 1.0) < 1e-6
+    assert abs(r["Vehicle/L2/APH"] - 0.75) < 1e-6
+    # range buckets
+    assert abs(r["Vehicle/RANGE_[0,30)/AP"] - 1.0) < 1e-6
+    assert abs(r["Vehicle/RANGE_[0,30)/APH"] - 0.5) < 1e-6
+    assert abs(r["Vehicle/RANGE_[30,50)/AP"] - 1.0) < 1e-6
+    assert abs(r["Vehicle/RANGE_[30,50)/APH"] - 1.0) < 1e-6
+    assert r["Vehicle/RANGE_[50,INF)/AP"] == 0.0
+
+
+def test_waymo_style_ap_misses_and_thresholds():
+    from pcseqlearning_tpu.runtime.eval_utils import waymo_style_ap
+
+    gt = [dict(
+        name=np.array(["Pedestrian"]),
+        gt_boxes_lidar=np.array([[5.0, 0.0, 0.9, 0.9, 0.8, 1.8, 0.0]], np.float32),
+        difficulty=np.array([1]),
+    )]
+    # offset detection: IoU below the 0.5 pedestrian threshold -> FP
+    det = [dict(
+        name=np.array(["Pedestrian"]),
+        score=np.array([0.9], np.float32),
+        boxes_lidar=np.array([[5.8, 0.0, 0.9, 0.9, 0.8, 1.8, 0.0]], np.float32),
+    )]
+    _, r = waymo_style_ap(det, gt, ["Pedestrian"], with_range_breakdown=False)
+    assert r["Pedestrian/L1/AP"] == 0.0
+    # exact hit -> AP 1
+    det[0]["boxes_lidar"][0, 0] = 5.0
+    _, r = waymo_style_ap(det, gt, ["Pedestrian"], with_range_breakdown=False)
+    assert abs(r["Pedestrian/L1/AP"] - 1.0) < 1e-6
+    assert abs(r["Pedestrian/L1/APH"] - 1.0) < 1e-6
