@@ -98,6 +98,79 @@ class DataAugmentor:
             gb[:, :3] += offset
         return data_dict
 
+    # -- local (per-object) augmentations (reference
+    # data_augmentor.py:167-221 + augmentor_utils local_* helpers) --------
+
+    def _member_mask(self, points, box):
+        """Points inside one rotated box [7] (numpy)."""
+        d = points[:, :3] - box[:3]
+        c, s = np.cos(-box[6]), np.sin(-box[6])
+        lx = d[:, 0] * c - d[:, 1] * s
+        ly = d[:, 0] * s + d[:, 1] * c
+        return (
+            (np.abs(lx) < box[3] / 2)
+            & (np.abs(ly) < box[4] / 2)
+            & (np.abs(d[:, 2]) < box[5] / 2)
+        )
+
+    def random_local_translation(self, data_dict=None, config=None):
+        """Per-object random translation of each GT box and its member
+        points along the configured axes."""
+        if data_dict is None:
+            return lambda d: self.random_local_translation(d, config)
+        lo, hi = config["LOCAL_TRANSLATION_RANGE"]
+        axes = {"x": 0, "y": 1, "z": 2}
+        boxes = data_dict.get("gt_boxes", np.zeros((0, 7), np.float32))
+        pts = data_dict["points"]
+        for bi in range(len(boxes)):
+            m = self._member_mask(pts, boxes[bi])
+            for ax in config.get("ALONG_AXIS_LIST", ["x", "y"]):
+                off = np.random.uniform(lo, hi)
+                pts[m, axes[ax]] += off
+                boxes[bi, axes[ax]] += off
+        data_dict["points"] = pts
+        if len(boxes):
+            data_dict["gt_boxes"] = boxes
+        return data_dict
+
+    def random_local_rotation(self, data_dict=None, config=None):
+        """Per-object rotation about the box center."""
+        if data_dict is None:
+            return lambda d: self.random_local_rotation(d, config)
+        rr = config["LOCAL_ROT_ANGLE"]
+        if not isinstance(rr, (list, tuple)):
+            rr = [-rr, rr]
+        boxes = data_dict.get("gt_boxes", np.zeros((0, 7), np.float32))
+        pts = data_dict["points"]
+        for bi in range(len(boxes)):
+            m = self._member_mask(pts, boxes[bi])
+            ang = np.random.uniform(rr[0], rr[1])
+            ctr = boxes[bi, :3]
+            pts[m, :3] = _rotate_z(pts[m, :3] - ctr, ang) + ctr
+            boxes[bi, 6] += ang
+        data_dict["points"] = pts
+        if len(boxes):
+            data_dict["gt_boxes"] = boxes
+        return data_dict
+
+    def random_local_scaling(self, data_dict=None, config=None):
+        """Per-object scaling about the box center (points + box dims)."""
+        if data_dict is None:
+            return lambda d: self.random_local_scaling(d, config)
+        lo, hi = config["LOCAL_SCALE_RANGE"]
+        boxes = data_dict.get("gt_boxes", np.zeros((0, 7), np.float32))
+        pts = data_dict["points"]
+        for bi in range(len(boxes)):
+            m = self._member_mask(pts, boxes[bi])
+            s = np.random.uniform(lo, hi)
+            ctr = boxes[bi, :3]
+            pts[m, :3] = (pts[m, :3] - ctr) * s + ctr
+            boxes[bi, 3:6] *= s
+        data_dict["points"] = pts
+        if len(boxes):
+            data_dict["gt_boxes"] = boxes
+        return data_dict
+
     def gt_sampling(self, data_dict=None, config=None):
         """GT-database paste augmentation (reference
         augmentor/database_sampler.py): sample up to SAMPLE_GROUPS objects
@@ -179,6 +252,20 @@ class _DatabaseSampler:
                 new_names.append(cls)
         if new_boxes:
             nb = np.stack(new_boxes)
+            # drop original scene points inside the accepted sampled boxes
+            # BEFORE pasting (reference database_sampler
+            # remove_points_in_boxes3d) — else pasted objects keep
+            # background points inside their GT boxes
+            pts0 = data_dict["points"]
+            if len(pts0):
+                import jax.numpy as jnp
+
+                from ..ops.boxes import points_in_boxes
+
+                inside = np.asarray(points_in_boxes(
+                    jnp.asarray(pts0[:, :3].astype(np.float32)), jnp.asarray(nb)
+                ))
+                data_dict["points"] = pts0[~inside.any(axis=0)]
             data_dict["gt_boxes"] = np.concatenate([existing, nb], axis=0)
             data_dict["gt_names"] = np.asarray(names + new_names)
             c = data_dict["points"].shape[1]

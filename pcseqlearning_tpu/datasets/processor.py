@@ -157,6 +157,100 @@ class DataProcessor:
                     data_dict[key] = data_dict[key][keep]
         return data_dict
 
+    def shift_to_top_lidar_origin(self, data_dict=None, config=None):
+        """Re-origin points at the top lidar (reference
+        data_processor.py:307-317)."""
+        if data_dict is None:
+            return lambda d: self.shift_to_top_lidar_origin(d, config)
+        origin = np.asarray(data_dict.get("top_lidar_origin", np.zeros(3)), np.float32)
+        data_dict["points"][:, :3] -= origin
+        data_dict["top_lidar_origin"] = np.zeros_like(origin)
+        return data_dict
+
+    def estimate_velocity(self, data_dict=None, config=None):
+        """Keep only object traces observed from sweep 0 (the reference's
+        estimate_velocity gates traces whose earliest obj_sweep != 0,
+        data_processor.py:367-393)."""
+        if data_dict is None:
+            return lambda d: self.estimate_velocity(d, config)
+        if "obj_ids" not in data_dict or "obj_sweep" not in data_dict:
+            return data_dict
+        obj_ids = np.asarray(data_dict["obj_ids"])
+        obj_sweeps = np.asarray(data_dict["obj_sweep"])
+        keep = np.ones(len(obj_ids), bool)
+        for oid in np.unique(obj_ids):
+            m = obj_ids == oid
+            if obj_sweeps[m].min() != 0:
+                keep[m] = False
+        n = len(obj_ids)
+        for key in list(data_dict.keys()):
+            v = data_dict[key]
+            if isinstance(v, np.ndarray) and len(v) == n and key.startswith(("obj_", "gt_")):
+                data_dict[key] = v[keep]
+        data_dict.pop("obj_ids", None)
+        return data_dict
+
+    def sync_box_motion(self, data_dict=None, config=None):
+        """Registered for config parity; the reference's implementation is a
+        debugger stub (data_processor.py:345-351, `ipdb.set_trace()`), so
+        this stage is a documented no-op."""
+        if data_dict is None:
+            return lambda d: self.sync_box_motion(d, config)
+        return data_dict
+
+    def lidar_line_segment(self, data_dict=None, config=None):
+        """Registered for config parity; the reference's v1 is a debugger
+        stub (data_processor.py:425-428) — dispatches to v2."""
+        if data_dict is None:
+            return lambda d: self.lidar_line_segment(d, config)
+        return self.lidar_line_segment_v2(data_dict, config)
+
+    def lidar_line_segment_v2(self, data_dict=None, config=None):
+        """Per-scanline segment labeling (reference
+        data_processor.py:459-506): for each range-image row, a 10-NN graph
+        thresholded by range-normalized distance feeds connected components;
+        points get a global segment id and a large-segment flag."""
+        if data_dict is None:
+            return lambda d: self.lidar_line_segment_v2(d, config)
+        cfg = config or {}
+        dist_th = float(cfg.get("DIST_TH", 0.05))
+        min_large = int(cfg.get("LARGE_SEGMENT_SIZE", 30))
+        pts = data_dict["points"][:, :3]
+        n = len(pts)
+        if "point_rimage_h" not in data_dict or n == 0:
+            data_dict["point_segment_id"] = np.zeros(n, np.int64)
+            data_dict["point_in_large_segment"] = np.zeros(n, bool)
+            return data_dict
+        import scipy.sparse as sp
+        import scipy.sparse.csgraph as csg
+        from sklearn.neighbors import NearestNeighbors
+
+        rh = np.asarray(data_dict["point_rimage_h"]).astype(np.int64)
+        seg_id = np.zeros(n, np.int64)
+        offset = 0
+        for h in np.unique(rh):
+            rows = np.nonzero(rh == h)[0]
+            if len(rows) == 0:
+                continue
+            p = pts[rows]
+            kk = min(10, len(rows))
+            tree = NearestNeighbors(n_neighbors=kk).fit(p)
+            dists, idx = tree.kneighbors(p)
+            prange = np.linalg.norm(p, axis=-1)
+            e0 = np.arange(len(rows)).repeat(kk)
+            e1 = idx.reshape(-1)
+            ok = dists.reshape(-1) / (prange.repeat(kk) + 1e-6) < dist_th
+            g = sp.csr_matrix(
+                (np.ones(ok.sum()), (e0[ok], e1[ok])), shape=(len(rows), len(rows))
+            )
+            nc, lab = csg.connected_components(g, directed=False)
+            seg_id[rows] = offset + lab
+            offset += nc
+        data_dict["point_segment_id"] = seg_id
+        _, inv, counts = np.unique(seg_id, return_inverse=True, return_counts=True)
+        data_dict["point_in_large_segment"] = counts[inv] > min_large
+        return data_dict
+
     def forward(self, data_dict):
         for proc in self.queue:
             data_dict = proc(data_dict)

@@ -94,6 +94,16 @@ class WaymoDataset(DatasetTemplate):
 
     # ------------------------------------------------------------------
     def get_lidar(self, sequence_name, sample_idx):
+        # in-process decoded-frame cache — the role of the reference's
+        # SharedArray /dev/shm cache (waymo_dataset.py:247-294); our input
+        # pipeline is in-process (no fork/pickle), so a bounded dict
+        # suffices
+        key = (sequence_name, int(sample_idx))
+        cache = getattr(self, "_frame_cache", None)
+        if cache is None:
+            cache = self._frame_cache = {}
+        if key in cache:
+            return cache[key].copy()
         lidar_file = self.data_path / sequence_name / ("%04d.npy" % sample_idx)
         pts = np.load(lidar_file).astype(np.float32)
         pts[:, 3] = np.tanh(pts[:, 3])
@@ -102,7 +112,72 @@ class WaymoDataset(DatasetTemplate):
         if pts.shape[1] > 7:
             pts[:, 7] *= 64
             pts[:, 6] *= 2650
+        if bool(self.dataset_cfg.get("USE_SHARED_MEMORY", False)):
+            if len(cache) > int(self.dataset_cfg.get("SHARED_MEMORY_CACHE_SIZE", 512)):
+                cache.pop(next(iter(cache)))
+            cache[key] = pts.copy()
         return pts
+
+    def spherical_resampling(self, point_wise, config=None):
+        """Densify each lidar scanline by interpolating along azimuth gaps
+        (reference waymo_dataset.py:115-179): per range-image row, each
+        point connects to its nearest smaller-azimuth neighbor within 0.3 m
+        and new points are linearly interpolated every ~0.1 m along the
+        edge; auxiliary per-point keys propagate from the 1-NN original."""
+        from sklearn.neighbors import NearestNeighbors
+
+        from ..utils.polar_utils import cartesian_to_spherical
+
+        config = config or {}
+        point_xyz = point_wise["point_xyz"]
+        point_feat = point_wise["point_feat"]
+        if "point_rimage_h" in point_wise:
+            rim_h = np.round(np.asarray(point_wise["point_rimage_h"])).astype(np.int64)
+        elif point_feat.shape[1] > 4:
+            rim_h = np.round(point_feat[:, 4]).astype(np.int64)
+        else:
+            return point_wise
+        new_xyz, new_feat = [point_xyz], [point_feat]
+        for h in np.unique(rim_h):
+            rows = np.nonzero(rim_h == h)[0]
+            if len(rows) < 10:
+                continue
+            p = point_xyz[rows]
+            f = point_feat[rows]
+            azimuth = np.asarray(cartesian_to_spherical(p))[:, 2]
+            tree = NearestNeighbors(n_neighbors=min(10, len(rows))).fit(p)
+            dists, e1 = tree.kneighbors(p)
+            e0 = np.arange(len(rows))[:, None]
+            az_diff = azimuth[e0] - azimuth[e1]
+            az_diff[az_diff < 1e-6] = 1e10
+            nn_index = az_diff.argmin(axis=-1)
+            e0 = e0[:, 0]
+            d = dists[(e0, nn_index)]
+            e1 = e1[(e0, nn_index)]
+            keep = d < 0.3
+            e0, e1, d = e0[keep], e1[keep], d[keep]
+            if len(e0) == 0:
+                continue
+            n_samp = np.ceil((d + 1e-6) / 0.1) + 1
+            for s in range(1, int(n_samp.max())):
+                em = s <= n_samp - 1
+                ratio = s / (n_samp - 1)
+                em = em & (ratio > 1e-6) & (ratio < 1 - 1e-6)
+                if em.any():
+                    r = ratio[em, None]
+                    new_xyz.append(p[e0[em]] * r + p[e1[em]] * (1.0 - r))
+                    new_feat.append(f[e0[em]] * r + f[e1[em]] * (1.0 - r))
+        out = dict(
+            point_xyz=np.concatenate(new_xyz).astype(np.float32),
+            point_feat=np.concatenate(new_feat).astype(np.float32),
+        )
+        tree = NearestNeighbors(n_neighbors=1).fit(point_xyz)
+        _, idx = tree.kneighbors(out["point_xyz"])
+        idx = idx[:, 0]
+        for key in point_wise:
+            if key not in out:
+                out[key] = np.asarray(point_wise[key])[idx]
+        return EDict(out)
 
     def get_seg_label(self, sequence_name, sample_idx):
         seg_file = self.data_path / sequence_name / ("%04d_seg.npy" % sample_idx)
@@ -126,6 +201,8 @@ class WaymoDataset(DatasetTemplate):
             if seg is not None:
                 point_wise.instance_label = seg[:, 0].astype(np.int64)
                 point_wise.segmentation_label = seg[:, 1].astype(np.int64)
+        if bool(self.dataset_cfg.get("SPHERICAL_RESAMPLING", False)):
+            point_wise = self.spherical_resampling(point_wise)
         annos = info.get("annos", {})
         object_wise = EDict(
             gt_box_attr=np.asarray(annos.get("gt_boxes_lidar", np.zeros((0, 7)))).astype(np.float32).reshape(-1, 7),

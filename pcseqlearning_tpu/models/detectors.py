@@ -56,6 +56,13 @@ class Detector3DTemplate(nn.Module):
                     pillar_cap=self.voxel_cap,
                     num_filters=tuple(vfe_cfg.get("NUM_FILTERS", [64])),
                 )
+            elif name in VFES:
+                # dynamic-voxel family (DynamicVFE / PlaneFitting / Hybrid /
+                # RepsurfDynamicVFE) shares the (voxel_size, range, cap) ctor
+                self.vfe = VFES[name](
+                    voxel_size=self.voxel_size, point_cloud_range=self.point_cloud_range,
+                    voxel_cap=self.voxel_cap,
+                )
             else:
                 raise KeyError(name)
         else:
@@ -90,6 +97,16 @@ class Detector3DTemplate(nn.Module):
                 from .backbones_point import PointNet2MSG
 
                 self.backbone_3d = PointNet2MSG()
+                self.backbone_is_sparse = False
+            elif name3d in ("KPConv", "KPConvNet"):
+                from .backbones_kpconv import KPConvNet
+
+                self.backbone_3d = KPConvNet()
+                self.backbone_is_sparse = False
+            elif name3d in ("PointConvNet", "VolumeConvNet", "PointGroupNet", "PointPlaneNet", "PointNet2RepSurf"):
+                from .backbones_graph import GraphConvNet
+
+                self.backbone_3d = GraphConvNet(variant=name3d)
                 self.backbone_is_sparse = False
             else:
                 raise KeyError(name3d)

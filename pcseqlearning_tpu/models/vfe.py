@@ -220,6 +220,110 @@ class PlaneFittingVFE(nn.Module):
         return batch_dict
 
 
+def umbrella_surface_features(xyz, batch_idx, valid, k=9):
+    """Per-point umbrella repsurf features [N, 10] (reference
+    repsurface_utils.UmbrellaSurfaceConstructor, vfe/repsurf_dynamic_vfe.py):
+    the k nearest neighbors, sorted by azimuth around the point, form an
+    umbrella of triangles with the center; per-triangle normals (oriented
+    +z), centroids and areas aggregate by mean. Output channels:
+    normal (3) + centroid offset (3) + centroid polar (3) + area (1)."""
+    from ..ops import sampling
+    from ..utils.polar_utils import cartesian_to_spherical
+
+    n = xyz.shape[0]
+    # batch separation by a large per-batch coordinate offset
+    off = batch_idx.astype(xyz.dtype)[:, None] * jnp.asarray([1e4, 0, 0], xyz.dtype)
+    idx, _ = sampling.knn_bruteforce(xyz + off, xyz + off, k + 1, ref_valid=valid)
+    idx = idx[:, 1:]  # drop self
+    nbr_ok = (idx >= 0) & valid[:, None]
+    rel = jnp.where(
+        nbr_ok[..., None], xyz[jnp.clip(idx, 0, n - 1)] - xyz[:, None, :], 0.0
+    )  # [N, k, 3]
+    az = jnp.arctan2(rel[..., 1], rel[..., 0])
+    az = jnp.where(nbr_ok, az, 1e9)  # invalid neighbors sort last
+    order = jnp.argsort(az, axis=1)
+    rel = jnp.take_along_axis(rel, order[..., None], axis=1)
+    ok = jnp.take_along_axis(nbr_ok, order, axis=1)
+    v0 = rel
+    v1 = jnp.roll(rel, -1, axis=1)
+    pair_ok = ok & jnp.roll(ok, -1, axis=1)
+    nrm = jnp.cross(v0, v1)
+    area = 0.5 * jnp.linalg.norm(nrm, axis=-1)
+    unit = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    # consistent orientation: +z hemisphere (reference orients by polar axis)
+    unit = unit * jnp.where(unit[..., 2:3] < 0, -1.0, 1.0)
+    centroid = (v0 + v1) / 3.0
+    w = pair_ok.astype(xyz.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+    mean_n = jnp.sum(unit * w, axis=1) / cnt
+    mean_c = jnp.sum(centroid * w, axis=1) / cnt
+    mean_a = jnp.sum(area[..., None] * w[..., 0:1], axis=1) / cnt
+    polar = cartesian_to_spherical(mean_c)
+    feats = jnp.concatenate([mean_n, mean_c, polar, mean_a], axis=-1)
+    return jnp.where(valid[:, None], feats, 0.0)
+
+
+class RepsurfDynamicVFE(nn.Module):
+    """Dynamic voxel VFE with umbrella repsurf surface features (reference
+    vfe/repsurf_dynamic_vfe.py:13-139): point features (xyz, feat, offset
+    to voxel mean) run a point-voxel MLP ladder (per-layer voxel-mean
+    re-broadcast), and per-point umbrella surface descriptors (10 ch)
+    aggregate into the voxel features."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    voxel_cap: int
+    mlp_channels: Sequence[int] = (32, 64)
+    knn: int = 9
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        points = batch_dict["point_bxyz"]
+        feats = batch_dict["point_feat"]
+        n = points.shape[0]
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        pc_min = jnp.asarray(self.point_cloud_range[:3], points.dtype)
+        pc_max = jnp.asarray(self.point_cloud_range[3:], points.dtype)
+        inside = jnp.all((points[:, 1:4] >= pc_min) & (points[:, 1:4] < pc_max), axis=-1)
+        valid = valid & inside
+        pts = jnp.where(valid[:, None], points, 1e8)
+        coords, _, vvalid, inverse = grid_utils.dynamic_voxelize(
+            pts, feats, self.voxel_size, pc_min, self.voxel_cap
+        )
+        cap = self.voxel_cap
+        inv_safe = jnp.where(valid, inverse, cap)
+        mean_xyz = segment_ops.segment_mean(points[:, 1:4], inv_safe, cap + 1)[:cap]
+        x = jnp.concatenate(
+            [points[:, 1:4], feats,
+             points[:, 1:4] - mean_xyz[jnp.clip(inverse, 0, cap - 1)]], axis=-1,
+        )
+        vmean = None
+        for i, nf in enumerate(self.mlp_channels):
+            x = nn.Dense(nf, use_bias=False)(x)
+            x = MaskedBatchNorm()(x, valid, train)
+            x = nn.relu(x)
+            vmean = segment_ops.segment_mean(
+                jnp.where(valid[:, None], x, 0.0), inv_safe, cap + 1
+            )[:cap]
+            if i + 1 < len(self.mlp_channels):
+                x = jnp.concatenate([x, vmean[jnp.clip(inverse, 0, cap - 1)]], axis=-1)
+
+        surf = umbrella_surface_features(
+            points[:, 1:4], jnp.round(points[:, 0]).astype(jnp.int32), valid, k=self.knn
+        )
+        vsurf = segment_ops.segment_mean(
+            jnp.where(valid[:, None], surf, 0.0), inv_safe, cap + 1
+        )[:cap]
+        vfeat = jnp.concatenate([vmean, vsurf], axis=-1)
+        batch_dict["voxel_features"] = jnp.where(vvalid[:, None], vfeat, 0.0)
+        batch_dict["voxel_coords"] = jnp.where(vvalid[:, None], coords, -1)
+        batch_dict["voxel_valid"] = vvalid
+        batch_dict["point_voxel_inverse"] = inverse
+        batch_dict["point_repsurf"] = surf
+        return batch_dict
+
+
 VFES["DynamicVFE"] = DynamicVFE
 VFES["PlaneFitting"] = PlaneFittingVFE
 VFES["HybridVFE"] = PlaneFittingVFE
+VFES["RepsurfDynamicVFE"] = RepsurfDynamicVFE
