@@ -274,3 +274,99 @@ class _DatabaseSampler:
                 add = np.pad(add, ((0, 0), (0, c - add.shape[1])))
             data_dict["points"] = np.concatenate([data_dict["points"], add.astype(np.float32)], axis=0)
         return data_dict
+
+
+class SemanticSegSampler:
+    """Semantic paste augmentation (reference
+    augmentor/semantic_seg_sampler.py:24-230): foreground instance crops
+    from a seg database paste onto randomly sampled support-class surface
+    points (road/sidewalk), z-aligned via the crop's trans_z, with per-class
+    scene limits and round-robin database pointers. The reference attaches
+    crops from SharedArray shm; here crops live in the database pickle
+    (npz-style dict entries)."""
+
+    def __init__(self, config, root_path=None):
+        import pickle
+        from pathlib import Path
+
+        self.cfg = EDict(config)
+        self.root = Path(root_path or ".")
+        db_path = self.root / self.cfg.get("DB_PATH", "waymo_seg_db.pkl")
+        self.db = {"infos": [], "by_cls": {}}
+        if db_path.exists():
+            with open(db_path, "rb") as f:
+                self.db = pickle.load(f)
+        self.sample_groups = {}
+        for spec in self.cfg.get("SAMPLE_GROUPS", []):
+            cls_id, num = str(spec).split(":")
+            self.sample_groups[int(cls_id)] = dict(
+                sample_num=int(num),
+                scene_limit=int(self.cfg.get("SCENE_LIMIT", 0)),
+                pointer=1 << 30, indices=np.zeros(0, np.int64),
+            )
+
+    def _draw(self, cls_id, group):
+        pool = self.db["by_cls"].get(cls_id, [])
+        if not pool:
+            return []
+        if group["pointer"] >= len(pool):
+            group["indices"] = np.random.permutation(len(pool))
+            group["pointer"] = 0
+        take = group["indices"][group["pointer"]: group["pointer"] + group["sample_num"]]
+        group["pointer"] += group["sample_num"]
+        return [self.db["infos"][pool[i]] for i in take]
+
+    def __call__(self, data_dict):
+        pts = data_dict["points"]
+        seg = data_dict.get("segmentation_label")
+        if seg is None or not self.sample_groups:
+            return data_dict
+        inst = data_dict.get("instance_label", np.zeros_like(seg))
+        support_ids = list(self.cfg.get("SUPPORT_CLASSES", [18, 21, 22]))
+        support_pts = {c: pts[seg == c, :3] for c in support_ids}
+        add_p, add_s, add_i = [], [], []
+        next_inst = int(inst.max()) + 1 if len(inst) else 0
+        for cls_id, group in self.sample_groups.items():
+            want = group["sample_num"]
+            if group["scene_limit"] > 0:
+                have = len(np.unique(inst[seg == cls_id]))
+                want = max(group["scene_limit"] - have, 0)
+            if want <= 0:
+                continue
+            group = dict(group, sample_num=want)
+            for info in self._draw(cls_id, group):
+                sup = int(info.get("support_cls", support_ids[0]))
+                cand = support_pts.get(sup)
+                if cand is None or len(cand) == 0:
+                    continue
+                loc = cand[np.random.randint(len(cand))]
+                crop = np.asarray(info["points"], np.float32).copy()
+                crop[:, :3] -= crop[:, :3].mean(0)
+                crop[:, :3] += loc
+                crop[:, 2] += float(info.get("trans_z", 0.0))
+                add_p.append(crop[:, : pts.shape[1]])
+                add_s.append(np.full(len(crop), cls_id, seg.dtype))
+                add_i.append(np.full(len(crop), next_inst, inst.dtype))
+                next_inst += 1
+        if add_p:
+            data_dict["points"] = np.concatenate([pts] + add_p, axis=0)
+            data_dict["segmentation_label"] = np.concatenate([seg] + add_s, axis=0)
+            data_dict["instance_label"] = np.concatenate([inst] + add_i, axis=0)
+        return data_dict
+
+
+def point_contrast_views(points, rot_range=(-np.pi, np.pi), scale_range=(0.9, 1.1), jitter=0.02):
+    """Two randomly transformed views of a scene + their correspondence
+    pairs (reference augmentor/point_constrast.py: PointContrast-style view
+    generation for contrastive pretraining). Returns (view1, view2,
+    pair_idx [N] — row i of view1 corresponds to row i of view2)."""
+    def one_view(p):
+        q = p.copy()
+        ang = np.random.uniform(*rot_range)
+        q[:, :3] = _rotate_z(q[:, :3], ang)
+        q[:, :3] *= np.random.uniform(*scale_range)
+        q[:, :3] += np.random.randn(*q[:, :3].shape).astype(q.dtype) * jitter
+        return q
+
+    v1, v2 = one_view(points), one_view(points)
+    return v1, v2, np.arange(len(points))

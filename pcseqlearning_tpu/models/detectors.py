@@ -154,6 +154,17 @@ class Detector3DTemplate(nn.Module):
         else:
             self.pfe = None
 
+        # co-training segmentation head over the PFE keypoints
+        # (PVRCNNPlusPlusCoTrain; the reference detector's forward is an
+        # ipdb stub — detectors/pv_rcnn_plusplus_cotrain.py:15 — so the
+        # intended topology is realized here: PV-RCNN++ + point seg loss)
+        if "SEG_HEAD" in cfg or "CoTrain" in str(cfg.get("NAME", "")):
+            from .backbones_point import PointHeadSimple
+
+            self.seg_head = PointHeadSimple(num_classes=self.num_classes)
+        else:
+            self.seg_head = None
+
         # RoI head (two-stage models)
         if "ROI_HEAD" in cfg:
             from .roi_heads import ROI_HEADS
@@ -226,6 +237,18 @@ class Detector3DTemplate(nn.Module):
             else:
                 losses = self.dense_head.loss(batch_dict)
             batch_dict["losses"] = losses
+        if self.seg_head is not None and "point_features" in batch_dict:
+            batch_dict = self.seg_head(batch_dict, train)
+            if train:
+                from .backbones_point import PointHeadSimple
+
+                seg_l = PointHeadSimple.loss(batch_dict, batch_dict["gt_boxes"])
+                losses = dict(batch_dict["losses"])
+                losses["seg_loss"] = seg_l
+                base = "center_loss" if "center_loss" in losses else "rpn_loss"
+                if base in losses:
+                    losses[base] = losses[base] + seg_l
+                batch_dict["losses"] = losses
         if self.roi_head is not None:
             batch_dict = self._run_roi_stage(batch_dict, train)
         return batch_dict
@@ -450,4 +473,10 @@ DETECTORS = {
     # point-based detector: PointNet2MSG backbone -> PointHeadBox proposals
     # -> PointRCNNHead roipoint pooling (reference detectors/pointrcnn.py)
     "PointRCNN": build_detector,
+    # camera-based detector: ImageVFE frustum features -> BEV scatter ->
+    # 2D backbone + head (reference detectors/caddn.py + vfe/image_vfe.py)
+    "CaDDN": build_detector,
+    # PV-RCNN++ with seg-head co-training (reference
+    # pv_rcnn_plusplus_cotrain.py; see setup() note on the upstream stub)
+    "PVRCNNPlusPlusCoTrain": build_detector,
 }

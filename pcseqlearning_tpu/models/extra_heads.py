@@ -241,3 +241,146 @@ EXTRA_HEADS = {
     "EmbedSegHead": EmbedSegHead,
     "PrimitiveHead": PrimitiveHead,
 }
+
+
+class HybridSegHead(nn.Module):
+    """Class-balanced point segmentation head (reference
+    dense_heads/hybrid_seg_head.py:8-80): FC stack to per-point class
+    logits; cross-entropy weighted by 1/count of each point's gt class
+    (clamped at 20) — the PV-RCNN keypoint segmentation variant."""
+
+    num_classes: int
+    fc: Sequence[int] = (256, 256)
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        x = batch_dict["point_features"]
+        valid = batch_dict.get("point_valid", jnp.ones(x.shape[0], bool))
+        for c in self.fc:
+            x = nn.Dense(c, use_bias=False)(x)
+            x = MaskedBatchNorm()(x, valid, train)
+            x = nn.relu(x)
+        batch_dict["pred_seg_cls_logits"] = nn.Dense(self.num_classes)(x)
+        return batch_dict
+
+    @staticmethod
+    def loss(batch_dict, labels, valid):
+        logits = batch_dict["pred_seg_cls_logits"]
+        c = logits.shape[-1]
+        lab = jnp.clip(labels, 0, c - 1)
+        ok = valid & (labels >= 0)
+        counts = jax.ops.segment_sum(ok.astype(jnp.float32), lab, num_segments=c)
+        w = ok.astype(jnp.float32) / jnp.maximum(counts[lab], 20.0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, lab[:, None], axis=1)[:, 0]
+        return jnp.sum(ce * w)
+
+
+class ImplicitReconstructionHead(nn.Module):
+    """Implicit occupancy reconstruction (reference
+    dense_heads/implicit_reconstruction_head.py:13-215): a regular
+    n^3-grid of perturbations around each point is classified
+    occupied/empty from the point's latent feature + the offset; labels
+    come from proximity to the real cloud (a sample is occupied when a
+    lidar return lies within half the sampling radius — the TPU stand-in
+    for the reference's spherical-projection visibility test)."""
+
+    latent: Sequence[int] = (128, 64)
+    num_samples_per_dim: int = 3
+    radius: float = 0.4
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        import numpy as np
+
+        x = batch_dict["point_features"]
+        xyz = batch_dict["point_coords"][:, 1:4]
+        n = x.shape[0]
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        s = self.num_samples_per_dim
+        lin = np.linspace(-self.radius / 2, self.radius / 2, s, dtype=np.float32)
+        grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+        offs = jnp.asarray(grid)  # [S, 3]
+        S = offs.shape[0]
+        h = x
+        for ci, c in enumerate(self.latent):
+            h = nn.Dense(c, use_bias=False, name=f"latent{ci}")(h)
+            h = MaskedBatchNorm(name=f"latent_bn{ci}")(h, valid, train)
+            h = nn.relu(h)
+        # occupancy logit per (point, sample): latent + offset encoding
+        oin = jnp.concatenate(
+            [jnp.broadcast_to(h[:, None, :], (n, S, h.shape[-1])),
+             jnp.broadcast_to(offs[None], (n, S, 3))], axis=-1,
+        )
+        logits = nn.Dense(1, name="occ")(oin)[..., 0]  # [N, S]
+        batch_dict["rec_occupancy_logits"] = logits
+        batch_dict["rec_sample_xyz"] = xyz[:, None, :] + offs[None]
+        return batch_dict
+
+    @staticmethod
+    def loss(batch_dict, radius=0.4):
+        """BCE against proximity-derived occupancy labels."""
+        from ..ops.pallas_tpu import pair_min
+
+        logits = batch_dict["rec_occupancy_logits"]  # [N, S]
+        samples = batch_dict["rec_sample_xyz"]  # [N, S, 3]
+        xyz = batch_dict["point_coords"][:, 1:4]
+        n, S = logits.shape
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        # occupied iff a real point lies within radius/2 of the sample —
+        # one [1, N*S, ?] x [1, N, ?] fused min
+        fd, _, _, _ = pair_min(
+            samples.reshape(1, n * S, 3), xyz[None],
+            jnp.broadcast_to(valid[:, None], (n, S)).reshape(1, -1), valid[None],
+        )
+        occ = (fd.reshape(n, S) <= (radius / 2) ** 2).astype(logits.dtype)
+        w = valid[:, None].astype(logits.dtype)
+        bce = jnp.clip(logits, 0) - logits * occ + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w) , 1.0)
+
+
+class PointSequenceReconstructionHead(nn.Module):
+    """Neighborhood reconstruction across a point sequence (reference
+    dense_heads/point_sequence_reconstruction_head.py:13-101): each query
+    point predicts K offsets that must Chamfer-match its true K-nearest
+    neighborhood in the (merged-sequence) cloud."""
+
+    latent: Sequence[int] = (128, 64)
+    num_predicted_points: int = 8
+    radius: float = 1.0
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        x = batch_dict["point_features"]
+        n = x.shape[0]
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        h = x
+        for ci, c in enumerate(self.latent):
+            h = nn.Dense(c, use_bias=False, name=f"latent{ci}")(h)
+            h = MaskedBatchNorm(name=f"latent_bn{ci}")(h, valid, train)
+            h = nn.relu(h)
+        pred = nn.Dense(self.num_predicted_points * 3, name="predictor")(h)
+        batch_dict["rec_pred_nbrhood"] = pred.reshape(n, self.num_predicted_points, 3)
+        return batch_dict
+
+    @staticmethod
+    def loss(batch_dict, radius=1.0):
+        """Symmetric Chamfer between predicted and true K-NN offsets."""
+        from ..ops import sampling
+
+        pred = batch_dict["rec_pred_nbrhood"]  # [N, K, 3]
+        xyz = batch_dict["point_coords"][:, 1:4]
+        n, K, _ = pred.shape
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        idx, d2 = sampling.knn_bruteforce(xyz, xyz, K, ref_valid=valid)
+        gt = xyz[jnp.clip(idx, 0, n - 1)] - xyz[:, None, :]  # [N, K, 3]
+        gt_ok = (idx >= 0) & (d2 <= radius * radius) & valid[:, None]
+        dd = jnp.sum((pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)  # [N, Kp, Kg]
+        ddm = jnp.where(gt_ok[:, None, :], dd, jnp.inf)
+        fwd = jnp.min(ddm, axis=2)
+        fwd = jnp.where(jnp.any(gt_ok, axis=1)[:, None], fwd, 0.0)
+        bwd = jnp.min(dd, axis=1)
+        bwd = jnp.where(gt_ok, bwd, 0.0)
+        w = valid.astype(pred.dtype)
+        per = jnp.mean(fwd, axis=1) + jnp.sum(bwd, axis=1) / jnp.maximum(jnp.sum(gt_ok, 1), 1)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)

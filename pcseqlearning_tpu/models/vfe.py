@@ -327,3 +327,97 @@ VFES["DynamicVFE"] = DynamicVFE
 VFES["PlaneFitting"] = PlaneFittingVFE
 VFES["HybridVFE"] = PlaneFittingVFE
 VFES["RepsurfDynamicVFE"] = RepsurfDynamicVFE
+
+
+class ImageVFE(nn.Module):
+    """Camera-to-voxel feature encoder — the CaDDN front end (reference
+    vfe/image_vfe.py + image_vfe_modules/{ffn,f2v}): a small conv encoder
+    predicts per-pixel features and a depth-bin distribution; voxel centers
+    project into the image via a pinhole model (batch_dict['calib_K'] /
+    'calib_T' or identity defaults) and gather depth-weighted bilinear
+    features."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    voxel_cap: int
+    depth_bins: int = 16
+    max_depth: float = 60.0
+    channels: int = 32
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        img = batch_dict["images"]  # [B, H, W, 3]
+        B, H, W, _ = img.shape
+        x = img
+        for i, c in enumerate((self.channels, self.channels)):
+            x = nn.Conv(c, (3, 3), strides=(2, 2), padding=1, use_bias=False, name=f"enc{i}")(x)
+            from .layers import BatchNorm2d
+
+            x = BatchNorm2d(name=f"enc_bn{i}")(x, train)
+            x = nn.relu(x)
+        feat = nn.Conv(self.channels, (1, 1), name="feat")(x)  # [B, h, w, C]
+        depth_logits = nn.Conv(self.depth_bins, (1, 1), name="depth")(x)
+        depth_prob = jax.nn.softmax(depth_logits, axis=-1)
+        h, w = feat.shape[1], feat.shape[2]
+
+        # dense voxel grid centers
+        pc_min = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
+        pc_max = jnp.asarray(self.point_cloud_range[3:], jnp.float32)
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        nx = int(round(float((pc_max[0] - pc_min[0]) / vs[0])))
+        ny = int(round(float((pc_max[1] - pc_min[1]) / vs[1])))
+        nz = int(round(float((pc_max[2] - pc_min[2]) / vs[2])))
+        ix = jnp.arange(nx); iy = jnp.arange(ny); iz = jnp.arange(nz)
+        gz, gy, gx = jnp.meshgrid(iz, iy, ix, indexing="ij")
+        centers = jnp.stack([
+            (gx.reshape(-1) + 0.5) * vs[0] + pc_min[0],
+            (gy.reshape(-1) + 0.5) * vs[1] + pc_min[1],
+            (gz.reshape(-1) + 0.5) * vs[2] + pc_min[2],
+        ], axis=-1)  # [V, 3]
+
+        K = batch_dict.get("calib_K", jnp.broadcast_to(jnp.eye(3), (B, 3, 3)))
+        T = batch_dict.get("calib_T", jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
+
+        def per_sample(feat_b, prob_b, K_b, T_b):
+            cam = centers @ T_b[:3, :3].T + T_b[:3, 3]
+            depth = jnp.maximum(cam[:, 2], 1e-3)
+            uvw = cam @ K_b.T
+            u = uvw[:, 0] / depth * (w / W)
+            v = uvw[:, 1] / depth * (h / H)
+            inside = (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1) & (cam[:, 2] > 0)
+            u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
+            v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
+            wu = jnp.clip(u - u0, 0, 1)[:, None]
+            wv = jnp.clip(v - v0, 0, 1)[:, None]
+            f = (feat_b[v0, u0] * (1 - wu) * (1 - wv) + feat_b[v0, u0 + 1] * wu * (1 - wv)
+                 + feat_b[v0 + 1, u0] * (1 - wu) * wv + feat_b[v0 + 1, u0 + 1] * wu * wv)
+            dbin = jnp.clip(
+                (depth / self.max_depth * self.depth_bins).astype(jnp.int32), 0, self.depth_bins - 1
+            )
+            pw = (prob_b[v0, u0])[jnp.arange(dbin.shape[0]), dbin]
+            return jnp.where(inside[:, None], f * pw[:, None], 0.0)
+
+        vox = jax.vmap(per_sample)(feat, depth_prob, K, T)  # [B, V, C]
+        # flatten to the framework's sparse voxel table layout
+        coords = jnp.stack([gz.reshape(-1), gy.reshape(-1), gx.reshape(-1)], axis=-1)
+        bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), coords.shape[0])
+        coords_b = jnp.concatenate(
+            [bidx[:, None], jnp.tile(coords, (B, 1))], axis=1
+        )
+        feats_flat = vox.reshape(B * coords.shape[0], -1)
+        cap = self.voxel_cap
+        batch_dict["voxel_features"] = feats_flat[:cap]
+        batch_dict["voxel_coords"] = coords_b[:cap]
+        batch_dict["voxel_valid"] = jnp.ones(min(cap, feats_flat.shape[0]), bool)
+        if feats_flat.shape[0] < cap:
+            pad = cap - feats_flat.shape[0]
+            batch_dict["voxel_features"] = jnp.concatenate(
+                [batch_dict["voxel_features"], jnp.zeros((pad, feats_flat.shape[1]))])
+            batch_dict["voxel_coords"] = jnp.concatenate(
+                [batch_dict["voxel_coords"], jnp.full((pad, 4), -1, jnp.int32)])
+            batch_dict["voxel_valid"] = jnp.concatenate(
+                [batch_dict["voxel_valid"], jnp.zeros(pad, bool)])
+        return batch_dict
+
+
+VFES["ImageVFE"] = ImageVFE

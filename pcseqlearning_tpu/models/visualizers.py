@@ -1,13 +1,19 @@
-"""Visualizers: headless geometry dumps + optional polyscope/plotly fronts.
+"""Visualizers: config-driven geometry registration with scalar/color
+quantities, headless-first.
 
-Parity with /root/reference/pcdet/models/visualizers/ (PolyScopeVisualizer,
-GeometryVisualizer, PlotlyVisualizer): config-driven registration of point
-clouds/boxes/curves with scalar & color quantities. The headless
-GeometryVisualizer (the one used inside ClusterTracking,
-cluster_tracking.py:232) writes compressed geometry dicts; the interactive
-fronts import their GUI deps lazily and degrade to the headless path when
-unavailable.
-"""
+Parity with /root/reference/pcdet/models/visualizers/ (PolyScopeVisualizer
+748 LoC, GeometryVisualizer 782 LoC, PlotlyVisualizer): the reference
+registers point clouds / boxes / curve networks per config section
+(POINT_CLOUD_VIS / BOX_VIS / POINT_CLOUD_SEQUENCE_VIS, each with per-key
+scalar and color quantities resolved from batch_dict, per-batch masking and
+random subsampling — polyscope_visualizer.py:199-440) plus helper channels
+for correspondences and traces (:446-490).
+
+Here the QUANTITY RESOLUTION is the shared headless core: every register
+call produces a complete segment dict (geometry + resolved scalars/colors/
+vectors) that the GeometryVisualizer persists and the PolyScope/Plotly
+fronts merely render — so the headless artifact carries everything the GUI
+would show (this image has no display)."""
 
 from __future__ import annotations
 
@@ -19,14 +25,37 @@ import numpy as np
 from ..utils.edict import EDict
 
 
+def _np(a):
+    return np.asarray(a)
+
+
+def _boxes_to_corners(boxes):
+    """[B, 8, 3] corners of [B, 7] boxes (z-heading)."""
+    template = np.array([
+        [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+        [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+    ], np.float32) / 2.0
+    corners = boxes[:, None, 3:6] * template[None]
+    c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+    x = corners[..., 0] * c[:, None] - corners[..., 1] * s[:, None]
+    y = corners[..., 0] * s[:, None] + corners[..., 1] * c[:, None]
+    out = np.stack([x, y, corners[..., 2]], axis=-1)
+    return out + boxes[:, None, :3]
+
+
 class GeometryVisualizer:
-    """Headless: accumulates geometry segments, saves compressed dicts."""
+    """Headless core: quantity resolution + compressed geometry dumps."""
 
     def __init__(self, model_cfg=None, runtime_cfg=None):
         self.model_cfg = EDict(model_cfg or {})
         self.enabled = bool(self.model_cfg.get("ENABLED", True))
+        self.point_cloud_vis = self.model_cfg.get("POINT_CLOUD_VIS", None)
+        self.sequence_vis = self.model_cfg.get("POINT_CLOUD_SEQUENCE_VIS", None)
+        self.box_vis = self.model_cfg.get("BOX_VIS", None)
+        self.shared_color = dict(self.model_cfg.get("SHARED_COLOR", {}) or {})
         self.segments = []
 
+    # -- low-level registration ----------------------------------------
     @staticmethod
     def _compress(seg):
         out = {}
@@ -41,25 +70,121 @@ class GeometryVisualizer:
                 out[k] = v
         return out
 
-    def register_point_cloud(self, segment):
+    def _push(self, seg):
         if self.enabled:
-            self.segments.append(self._compress(dict(segment)))
+            self.segments.append(self._compress(dict(seg)))
         return self
+
+    def register_point_cloud(self, segment):
+        return self._push(dict(segment, type=segment.get("type", "point_cloud")))
 
     def register_boxes(self, segment):
-        if self.enabled:
-            self.segments.append(self._compress(dict(segment)))
-        return self
+        seg = dict(segment, type="boxes")
+        if "corners" not in seg and "boxes" in seg:
+            seg["corners"] = _boxes_to_corners(_np(seg["boxes"]))
+        return self._push(seg)
 
     def register_curves(self, segment):
-        if self.enabled:
-            self.segments.append(self._compress(dict(segment)))
-        return self
+        return self._push(dict(segment, type="curves"))
+
+    def register_correspondence(self, name, src, tgt, **kwargs):
+        """Curve network pairing src[i] -> tgt[i] (reference corres:456)."""
+        src, tgt = _np(src), _np(tgt)
+        nodes = np.concatenate([src, tgt], axis=0)
+        edges = np.stack([np.arange(len(src)), np.arange(len(src)) + len(src)], 1)
+        return self.register_curves(dict(name=name, nodes=nodes, edges=edges, **kwargs))
+
+    def register_trace(self, name, points, **kwargs):
+        """Polyline through consecutive points (reference trace:464)."""
+        points = _np(points)
+        edges = np.stack([np.arange(len(points) - 1), np.arange(1, len(points))], 1)
+        return self.register_curves(dict(name=name, nodes=points, edges=edges, **kwargs))
 
     def add_scalar_quantity(self, name, values, **kwargs):
         if self.enabled and self.segments:
-            self.segments[-1].setdefault("scalars", {})[name] = dict(values=np.asarray(values), **kwargs)
+            self.segments[-1].setdefault("scalars", {})[name] = dict(values=_np(values), **kwargs)
         return self
+
+    def add_color_quantity(self, name, colors, **kwargs):
+        if self.enabled and self.segments:
+            self.segments[-1].setdefault("colors", {})[name] = dict(values=_np(colors), **kwargs)
+        return self
+
+    def add_vector_quantity(self, name, vectors, **kwargs):
+        if self.enabled and self.segments:
+            self.segments[-1].setdefault("vectors", {})[name] = dict(values=_np(vectors), **kwargs)
+        return self
+
+    # -- config-driven forward (visualizer-as-module,
+    #    reference detector3d_template.py:73-83 + polyscope forward) -----
+    def _resolve_quantities(self, vis_cfg, batch_dict, mask):
+        for qname, qkey in dict(vis_cfg.get("scalars", {}) or {}).items():
+            if qkey in batch_dict:
+                vals = _np(batch_dict[qkey]).reshape(-1)
+                self.add_scalar_quantity(qname, vals[mask] if mask is not None else vals)
+        for qname, qkey in dict(vis_cfg.get("colors", {}) or {}).items():
+            if isinstance(qkey, str) and qkey in self.shared_color:
+                self.add_color_quantity(qname, np.asarray(self.shared_color[qkey]))
+            elif qkey in batch_dict:
+                vals = _np(batch_dict[qkey])
+                self.add_color_quantity(qname, vals[mask] if mask is not None else vals)
+        for qname, qkey in dict(vis_cfg.get("vectors", {}) or {}).items():
+            if qkey in batch_dict:
+                vals = _np(batch_dict[qkey])
+                self.add_vector_quantity(qname, vals[mask] if mask is not None else vals)
+
+    def __call__(self, batch_dict):
+        if not self.enabled:
+            return batch_dict
+        pc_sections = self.point_cloud_vis or {
+            k: {} for k in self.model_cfg.get("POINT_CLOUD_KEYS", ["point_fxyz"])
+        }
+        for key, vis_cfg in pc_sections.items():
+            vis_cfg = dict(vis_cfg or {})
+            if key.startswith("_"):
+                key = key[1:]
+            if key not in batch_dict:
+                continue
+            arr = _np(batch_dict[key])
+            xyz = arr[:, -3:] if arr.shape[-1] >= 3 else arr
+            mask = None
+            if "sample" in vis_cfg:
+                n = int(vis_cfg.pop("sample"))
+                mask = np.random.permutation(len(xyz))[:n]
+                xyz = xyz[mask]
+            self.register_point_cloud(dict(
+                name=vis_cfg.pop("name", key), xyz=xyz,
+                radius=vis_cfg.pop("radius", 0.02),
+            ))
+            self._resolve_quantities(vis_cfg, batch_dict, mask)
+
+        for key, vis_cfg in dict(self.sequence_vis or {}).items():
+            if key not in batch_dict:
+                continue
+            vis_cfg = dict(vis_cfg or {})
+            arr = _np(batch_dict[key])
+            self.register_point_cloud(dict(
+                name=vis_cfg.pop("name", key), xyz=arr[:, 1:4], type="point_cloud",
+            ))
+            self.add_scalar_quantity("sweep", arr[:, 0])
+            self._resolve_quantities(vis_cfg, batch_dict, None)
+
+        for key, vis_cfg in dict(self.box_vis or {}).items():
+            if key not in batch_dict:
+                continue
+            vis_cfg = dict(vis_cfg or {})
+            boxes = _np(batch_dict[key]).reshape(-1, _np(batch_dict[key]).shape[-1])
+            keep = (boxes[:, 3:6] ** 2).sum(-1) > 1e-1
+            boxes = boxes[keep]
+            self.register_boxes(dict(name=vis_cfg.pop("name", key), boxes=boxes[:, :7]))
+            self._resolve_quantities(vis_cfg, batch_dict, keep)
+
+        out_dir = self.model_cfg.get("SAVE_DIR", None)
+        if out_dir:
+            sid = str(batch_dict.get("frame_id", "seq"))
+            self.save(os.path.join(out_dir, f"{sid}.geom.pkl"))
+            self.clear()
+        return batch_dict
 
     def save(self, path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -70,25 +195,10 @@ class GeometryVisualizer:
     def clear(self):
         self.segments = []
 
-    def __call__(self, seq_dict):
-        """Config-driven dump of keyed arrays (visualizer-as-module path,
-        reference detector3d_template.py:73-83)."""
-        keys = self.model_cfg.get("POINT_CLOUD_KEYS", ["point_fxyz"])
-        for key in keys:
-            if key in seq_dict:
-                self.register_point_cloud(dict(type="point_cloud", name=key,
-                                               xyz=np.asarray(seq_dict[key])[:, -3:]))
-        out_dir = self.model_cfg.get("SAVE_DIR", None)
-        if out_dir:
-            sid = str(seq_dict.get("frame_id", "seq"))
-            self.save(os.path.join(out_dir, f"{sid}.geom.pkl"))
-            self.clear()
-        return seq_dict
-
 
 class PolyScopeVisualizer(GeometryVisualizer):
-    """Interactive polyscope front; degrades to headless when polyscope is
-    unavailable (this image has no GUI)."""
+    """Interactive polyscope front rendering the headless segments;
+    degrades to headless when polyscope is unavailable (no GUI here)."""
 
     def __init__(self, model_cfg=None, runtime_cfg=None):
         super().__init__(model_cfg, runtime_cfg)
@@ -97,18 +207,42 @@ class PolyScopeVisualizer(GeometryVisualizer):
 
             self._ps = polyscope
             self._ps.init()
-            up = self.model_cfg.get("UP_DIR", "z_up")
-            self._ps.set_up_dir(up)
+            self._ps.set_up_dir(self.model_cfg.get("UP_DIR", "z_up"))
         except Exception:
             self._ps = None
 
-    def register_point_cloud(self, segment):
-        super().register_point_cloud(segment)
-        if self._ps is not None:
-            seg = self.segments[-1]
-            pc = self._ps.register_point_cloud(seg.get("name", "pc"), np.asarray(seg["xyz"]))
-            for name, q in seg.get("scalars", {}).items():
-                pc.add_scalar_quantity(name, np.asarray(q["values"]))
+    def _render(self, seg):
+        if self._ps is None:
+            return
+        kind = seg.get("type", "point_cloud")
+        if kind == "point_cloud":
+            h = self._ps.register_point_cloud(
+                seg.get("name", "pc"), _np(seg["xyz"]), radius=seg.get("radius", 0.02)
+            )
+        elif kind == "boxes":
+            corners = _np(seg["corners"]).reshape(-1, 3)
+            hexes = np.arange(len(corners)).reshape(-1, 8)
+            h = self._ps.register_volume_mesh(seg.get("name", "boxes"), corners, hexes=hexes)
+        elif kind == "curves":
+            h = self._ps.register_curve_network(
+                seg.get("name", "curves"), _np(seg["nodes"]), _np(seg["edges"])
+            )
+        else:
+            return
+        for name, q in seg.get("scalars", {}).items():
+            h.add_scalar_quantity(name, _np(q["values"]))
+        for name, q in seg.get("colors", {}).items():
+            v = _np(q["values"])
+            if v.ndim == 1:
+                v = np.broadcast_to(v, (len(_np(seg.get("xyz", seg.get("nodes"))))), )
+            h.add_color_quantity(name, v)
+        for name, q in seg.get("vectors", {}).items():
+            h.add_vector_quantity(name, _np(q["values"]))
+
+    def _push(self, seg):
+        super()._push(seg)
+        if self.segments:
+            self._render(self.segments[-1])
         return self
 
     def show(self):
@@ -117,7 +251,11 @@ class PolyScopeVisualizer(GeometryVisualizer):
 
 
 class PlotlyVisualizer(GeometryVisualizer):
-    """Plotly HTML export front."""
+    """Plotly HTML export of the headless segments (point clouds colored by
+    their first scalar quantity, boxes as wireframes, curves as lines)."""
+
+    _BOX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+                  (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
 
     def save_html(self, path):
         try:
@@ -126,11 +264,38 @@ class PlotlyVisualizer(GeometryVisualizer):
             return self.save(path + ".pkl")
         traces = []
         for seg in self.segments:
-            if seg.get("type") == "point_cloud":
-                xyz = np.asarray(seg["xyz"])
+            kind = seg.get("type", "point_cloud")
+            if kind == "point_cloud":
+                xyz = _np(seg["xyz"])
+                marker = dict(size=1)
+                scalars = seg.get("scalars", {})
+                if scalars:
+                    first = next(iter(scalars.values()))
+                    marker = dict(size=1, color=_np(first["values"]), colorscale="Viridis")
                 traces.append(go.Scatter3d(
                     x=xyz[:, 0], y=xyz[:, 1], z=xyz[:, 2], mode="markers",
-                    marker=dict(size=1), name=seg.get("name", "pc"),
+                    marker=marker, name=seg.get("name", "pc"),
+                ))
+            elif kind == "boxes":
+                corners = _np(seg["corners"])
+                xs, ys, zs = [], [], []
+                for box in corners:
+                    for a, b in self._BOX_EDGES:
+                        xs += [box[a, 0], box[b, 0], None]
+                        ys += [box[a, 1], box[b, 1], None]
+                        zs += [box[a, 2], box[b, 2], None]
+                traces.append(go.Scatter3d(
+                    x=xs, y=ys, z=zs, mode="lines", name=seg.get("name", "boxes"),
+                ))
+            elif kind == "curves":
+                nodes, edges = _np(seg["nodes"]), _np(seg["edges"])
+                xs, ys, zs = [], [], []
+                for a, b in edges:
+                    xs += [nodes[a, 0], nodes[b, 0], None]
+                    ys += [nodes[a, 1], nodes[b, 1], None]
+                    zs += [nodes[a, 2], nodes[b, 2], None]
+                traces.append(go.Scatter3d(
+                    x=xs, y=ys, z=zs, mode="lines", name=seg.get("name", "curves"),
                 ))
         go.Figure(traces).write_html(path)
         return path

@@ -1,0 +1,142 @@
+"""Pallas TPU kernels for the extraction hot path.
+
+The north-star kernel strategy (BASELINE.json / SURVEY §2.1) replaces the
+reference's CUDA ops with Pallas kernels. The first shipped kernel fuses
+the batched pairwise-distance + bidirectional min/argmin of the
+component-tiled ICP (preprocessing/tracking_batched._icp_level): the XLA
+path materializes the [C, P, Q] distance matrix in HBM every ICP iteration
+(~1 GB/iter at production tiles); the kernel keeps each component's [P, Q]
+block in VMEM and writes only the [P]- and [Q]-sized reductions.
+
+Layout note: coordinates are fed TRANSPOSED as [C, 4, P] / [C, 4, Q] so the
+point axis rides the 128-wide lane dimension; the [P, Q] cross term is one
+K=4 MXU contraction per component.
+
+Semantics (matching tracking_batched._pair_d2 + masked row/col mins):
+    d2[c, p, q] = ||a[c, p] - b[c, q]||^2
+    fwd_d2[c, p] = min_q d2 (masked by b_mask), fwd_idx = argmin
+    bwd_d2[c, q] = min_p d2 (masked by a_mask), bwd_idx = argmin
+Masked-out rows give +inf / argmin 0.
+
+Falls back to the XLA composition automatically off-TPU (CPU tests) or
+when shapes don't tile; toggle with PCSEQ_PALLAS=0.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_INF = float("inf")  # python literal: jnp constants would be captured consts in the kernel
+
+
+def _xla_pair_min(a, b, a_mask, b_mask):
+    hi = jax.lax.Precision.HIGHEST
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    cross = jnp.einsum("cpd,cqd->cpq", a, b, precision=hi)
+    d2 = a2[:, :, None] + b2[:, None, :] - 2.0 * cross
+    d2f = jnp.where(b_mask[:, None, :], d2, _INF)
+    fwd_d2 = jnp.min(d2f, axis=2)
+    fwd_idx = jnp.argmin(d2f, axis=2).astype(jnp.int32)
+    d2b = jnp.where(a_mask[:, :, None], d2, _INF)
+    bwd_d2 = jnp.min(d2b, axis=1)
+    bwd_idx = jnp.argmin(d2b, axis=1).astype(jnp.int32)
+    return fwd_d2, fwd_idx, bwd_d2, bwd_idx
+
+
+_BIG = 1e30  # sentinel for masked rows (Mosaic can't reshape i1 vectors,
+# so masking is arithmetic on f32 0/1 masks; +-inf would make inf-inf NaNs)
+
+
+def _kernel(at_ref, bt_ref, am_ref, bm_ref, fd_ref, fi_ref, bd_ref, bi_ref):
+    at = at_ref[0]  # [4, P] (xyz rows + zero pad row)
+    bt = bt_ref[0]  # [4, Q]
+    amf = am_ref[0, 0]  # [P] f32 0/1
+    bmf = bm_ref[0, 0]  # [Q] f32 0/1
+    # exact f32 distances via direct differences (no |a|^2+|b|^2-2ab
+    # cancellation, no MXU precision trap) — [P, Q] x 3 VPU ops in VMEM
+    dx = at[0][:, None] - bt[0][None, :]
+    dy = at[1][:, None] - bt[1][None, :]
+    dz = at[2][:, None] - bt[2][None, :]
+    d2 = dx * dx + dy * dy + dz * dz
+    d2f = d2 + (1.0 - bmf)[None, :] * _BIG
+    fd_ref[0, 0] = jnp.min(d2f, axis=1)
+    fi_ref[0, 0] = jnp.argmin(d2f, axis=1).astype(jnp.int32)
+    d2b = d2 + (1.0 - amf)[:, None] * _BIG
+    bd_ref[0, 0] = jnp.min(d2b, axis=0)
+    bi_ref[0, 0] = jnp.argmin(d2b, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_pair_min(at, bt, a_maskf, b_maskf, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, _, P = at.shape
+    Q = bt.shape[2]
+    # [C, 1, P]-shaped 1D quantities: the TPU lowering needs the last two
+    # block dims divisible by (8, 128) OR equal to the array dims — a
+    # middle singleton satisfies the sublane rule exactly
+    fd, fi, bd, bi = pl.pallas_call(
+        _kernel,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, 4, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, P), jnp.int32),
+            jax.ShapeDtypeStruct((C, 1, Q), jnp.float32),
+            jax.ShapeDtypeStruct((C, 1, Q), jnp.int32),
+        ],
+        interpret=interpret,
+    )(at, bt, a_maskf.reshape(C, 1, P), b_maskf.reshape(C, 1, Q))
+    return fd[:, 0], fi[:, 0], bd[:, 0], bi[:, 0]
+
+
+def _use_pallas():
+    if os.environ.get("PCSEQ_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def pair_min(a, b, a_mask, b_mask):
+    """Fused batched pairwise-distance bidirectional min.
+
+    a [C, P, 3], b [C, Q, 3], masks [C, P]/[C, Q] bool.
+    Returns (fwd_d2 [C, P], fwd_idx [C, P], bwd_d2 [C, Q], bwd_idx [C, Q]).
+    """
+    C, P, _ = a.shape
+    Q = b.shape[1]
+    tiles_ok = P % 128 == 0 and Q % 128 == 0
+    if not (_use_pallas() and tiles_ok):
+        return _xla_pair_min(a, b, a_mask, b_mask)
+    at = jnp.concatenate(
+        [jnp.swapaxes(a, 1, 2), jnp.zeros((C, 1, P), a.dtype)], axis=1
+    ).astype(jnp.float32)
+    bt = jnp.concatenate(
+        [jnp.swapaxes(b, 1, 2), jnp.zeros((C, 1, Q), b.dtype)], axis=1
+    ).astype(jnp.float32)
+    fd, fi, bd, bi = _pallas_pair_min(
+        at, bt, a_mask.astype(jnp.float32), b_mask.astype(jnp.float32)
+    )
+    # restore the +inf-where-none contract of the XLA path
+    fd = jnp.where(fd >= _BIG * 0.5, jnp.inf, fd)
+    bd = jnp.where(bd >= _BIG * 0.5, jnp.inf, bd)
+    return fd, fi, bd, bi

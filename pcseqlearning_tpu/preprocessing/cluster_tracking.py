@@ -517,6 +517,21 @@ class ClusterTracking:
         mc_p, _ = pad_rows(mc.astype(np.int32), cap_m, fill=-1)
         rx_p, r_valid = pad_rows(rx.astype(np.float32), cap_r, fill=1e8)
         C = bucket_size(num_components, base=64)
+        if str(self.model_cfg["REGISTRATION"].get("SOLVER", "ICP")) in ("GD", "GDSolver"):
+            from .solver_utils import gd_register_components
+
+            T, l1, ratio = gd_register_components(
+                jnp.asarray(mx_p), jnp.asarray(mc_p), jnp.asarray(m_valid),
+                jnp.asarray(rx_p), jnp.asarray(r_valid), C,
+                jnp.asarray(self.radius_list[level], jnp.float32),
+            )
+            out = (
+                np.asarray(T)[:num_components],
+                np.asarray(l1)[:num_components],
+                np.asarray(ratio)[:num_components],
+            )
+            self._tick("register", t0)
+            return out
         T, l1, ratio, _ = register_to_next_frame(
             jnp.asarray(mx_p), jnp.asarray(mc_p), jnp.asarray(m_valid),
             jnp.asarray(rx_p), jnp.asarray(r_valid), C,

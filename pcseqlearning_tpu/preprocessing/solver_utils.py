@@ -64,3 +64,42 @@ def gd_register(moving_xyz, moving_valid, ref_xyz, ref_valid, radius,
     v0 = jnp.zeros_like(moving_xyz)
     v, _ = jax.lax.fori_loop(0, num_iters, body, (v0, opt.init(v0)))
     return v, loss_fn(v)
+
+
+def gd_register_components(moving_xyz, moving_comp, moving_valid, ref_xyz, ref_valid,
+                           num_components, radius, rigid_weight=1.0, lr=1e-2,
+                           num_iters=200, num_rounds=4):
+    """Config-wired GDSolver path (reference solver_utils.GDSolver): solve
+    the per-point velocity field (with ``num_rounds`` outer
+    correspondence refreshes — fixed-NN gradient descent only contracts
+    partially, like a single ICP iteration), then extract a rigid
+    [C, 4, 4] transform per component by Procrustes on (p, p + v_p)
+    pairs — the drop-in signature of register_to_next_frame's
+    (T, l1, ratio) contract."""
+    from ..ops import geometry
+
+    C = num_components
+    cur = moving_xyz
+    for _ in range(num_rounds):
+        dv, _ = gd_register(cur, moving_valid, ref_xyz, ref_valid, radius,
+                            rigid_weight=rigid_weight, lr=lr, num_iters=num_iters)
+        cur = cur + dv
+    v = cur - moving_xyz
+    comp_safe = jnp.where(moving_valid & (moving_comp >= 0), moving_comp, C)
+    tgt = moving_xyz + v
+    mc = segment_ops.segment_mean(moving_xyz, comp_safe, C + 1)[:C]
+    tc = segment_ops.segment_mean(tgt, comp_safe, C + 1)[:C]
+    cc = jnp.clip(comp_safe, 0, C - 1)
+    P = jnp.where(moving_valid[:, None], moving_xyz - mc[cc], 0.0)
+    Q = jnp.where(moving_valid[:, None], tgt - tc[cc], 0.0)
+    cov = segment_ops.segment_mean(P[:, :, None] * Q[:, None, :], comp_safe, C + 1)[:C]
+    R = geometry.procrustes_rotation(jnp.swapaxes(cov, -1, -2))
+    t = tc - jnp.einsum("cij,cj->ci", R, mc, precision=jax.lax.Precision.HIGHEST)
+    T = geometry.make_rigid(R, t)
+    # residual after the rigid fit, per component
+    moved = jnp.einsum("nij,nj->ni", R[cc], moving_xyz, precision=jax.lax.Precision.HIGHEST) + t[cc]
+    res = jnp.linalg.norm(moved - tgt, axis=-1)
+    l1 = segment_ops.segment_mean(jnp.where(moving_valid, res, 0.0), comp_safe, C + 1)[:C]
+    deg = segment_ops.segment_count(comp_safe, C + 1)[:C]
+    ratio = jnp.where(deg > 0.5, 1.0, 0.0)
+    return T, l1, ratio

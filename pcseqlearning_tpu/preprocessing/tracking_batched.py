@@ -159,15 +159,12 @@ def _icp_level(m_xyz, m_mask, r_xyz, r_mask, T_prior, radius, angle_regularizer,
     n_r = jnp.sum(r_mask, axis=1)
 
     def solve(xyz, T):
-        d2 = _pair_d2(xyz, r_xyz)
-        d2 = jnp.where(m_mask[:, :, None] & r_mask[:, None, :], d2, inf)
-        # forward: each moving point -> nearest candidate
-        f_d2 = jnp.min(d2, axis=2)
-        f_j = jnp.argmin(d2, axis=2)
+        from ..ops.pallas_tpu import pair_min
+
+        # fused [P, Q] distance + bidirectional min (Pallas on TPU: the
+        # distance matrix never leaves VMEM)
+        f_d2, f_j, b_d2, b_i = pair_min(xyz, r_xyz, m_mask, r_mask)
         f_ok = m_mask & (f_d2 <= r2)
-        # backward: each candidate -> nearest moving point
-        b_d2 = jnp.min(d2, axis=1)
-        b_i = jnp.argmin(d2, axis=1)
         b_ok = r_mask & (b_d2 <= r2)
 
         pm = jnp.concatenate(
@@ -212,9 +209,10 @@ def _icp_level(m_xyz, m_mask, r_xyz, r_mask, T_prior, radius, angle_regularizer,
     xyz, T, l1, _, _, _ = jax.lax.while_loop(cond, body, init)
 
     # edge-coverage ratio at the final pose (registration_utils.py:189-199)
-    d2 = _pair_d2(xyz, r_xyz)
-    d2 = jnp.where(r_mask[:, None, :], d2, inf)
-    f_ok = m_mask & (jnp.min(d2, axis=2) <= r2)
+    from ..ops.pallas_tpu import pair_min as _pm
+
+    f_d2_fin, _, _, _ = _pm(xyz, r_xyz, m_mask, r_mask)
+    f_ok = m_mask & (f_d2_fin <= r2)
     deg = jnp.maximum(jnp.sum(m_mask, axis=1), 1e-6)
     ratio = jnp.sum(f_ok, axis=1) / deg
     # components with an empty candidate set register nothing
@@ -295,9 +293,9 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
         # a candidate point participates only in the component whose moved
         # points are nearest, else overlap regions pull components onto
         # their neighbors. One [C, Q, P] distance + scatter-min per level.
-        d2cp = _pair_d2(cand_xyz, cur_pts)
-        d2cp = jnp.where(comp_pmask[:, None, :], d2cp, jnp.inf)
-        mind_cp = jnp.min(d2cp, axis=2)  # [C, Q]
+        from ..ops.pallas_tpu import pair_min as _pm
+
+        _, _, mind_cp, _ = _pm(cur_pts, cand_xyz, comp_pmask, cand_usable)  # [C, Q]
         flat_idx = jnp.where(cand_usable, cand_idx, N).reshape(-1)
         flat_d = jnp.where(cand_usable, mind_cp, jnp.inf).reshape(-1)
         best_cp = jax.ops.segment_min(flat_d, flat_idx, num_segments=N + 1)[:N]

@@ -92,3 +92,37 @@ def get_corner_loss_lidar(pred_boxes, gt_boxes):
     d2 = jnp.linalg.norm(pc - gcf, axis=-1)
     corner_dist = jnp.minimum(d1, d2)
     return smooth_l1(corner_dist, beta=1.0).mean(axis=-1)
+
+
+def ohem_ce_loss(logits, labels, valid, thresh=0.7, min_kept=0.001):
+    """Online hard-example-mining cross entropy (reference
+    loss_utils.OHEMLoss:205-243, after mmseg's OHEM pixel sampler): keep
+    pixels whose gt-class probability is below max(thresh, k-th smallest
+    prob) where k = min_kept * N, weight 1 on kept pixels.
+
+    logits [N, C]; labels [N] int (invalid rows masked by ``valid``)."""
+    import jax
+
+    n, c = logits.shape
+    lab = jnp.clip(labels, 0, c - 1)
+    prob = jax.nn.softmax(logits, axis=-1)
+    gt_prob = jnp.take_along_axis(prob, lab[:, None], axis=1)[:, 0]
+    gt_prob = jnp.where(valid, gt_prob, jnp.inf)
+    batch_kept = jnp.maximum((min_kept * jnp.sum(valid)).astype(jnp.int32), 1)
+    sorted_prob = jnp.sort(gt_prob)
+    kth = sorted_prob[jnp.clip(batch_kept, 0, n - 1)]
+    threshold = jnp.maximum(kth, thresh)
+    w = (valid & (gt_prob < threshold)).astype(logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, lab[:, None], axis=1)[:, 0]
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def ohem_reg_loss(pred, target, gap, weight_dict):
+    """Gap-reweighted MSE (reference OHEMRegLoss:183-203): per-row weight
+    from the largest threshold in ``weight_dict`` below the row's gap."""
+    w = jnp.ones_like(gap)
+    for threshold in sorted(float(k) for k in weight_dict):
+        w = jnp.where(gap > threshold, weight_dict[threshold] if threshold in weight_dict else weight_dict[str(threshold)], w)
+    loss = (pred - target) ** 2
+    return jnp.mean(loss * w[:, None])

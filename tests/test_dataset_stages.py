@@ -209,3 +209,41 @@ def test_spherical_resampling_densifies_scanline():
     # all new points still on the arc (range ~10)
     r = np.linalg.norm(out["point_xyz"][:, :2], axis=1)
     assert np.abs(r - 10).max() < 0.2
+
+
+def test_semantic_seg_sampler(tmp_path):
+    import pickle
+    from pcseqlearning_tpu.datasets.augmentor import SemanticSegSampler
+    from pcseqlearning_tpu.utils.edict import EDict
+
+    rng = np.random.RandomState(0)
+    crop = np.concatenate([rng.randn(30, 3) * 0.3, np.ones((30, 1))], 1).astype(np.float32)
+    db = {"infos": [dict(points=crop, support_cls=18, trans_z=0.9)], "by_cls": {2: [0]}}
+    with open(tmp_path / "segdb.pkl", "wb") as f:
+        pickle.dump(db, f)
+    sampler = SemanticSegSampler(EDict(DB_PATH="segdb.pkl", SAMPLE_GROUPS=["2:1"],
+                                       SUPPORT_CLASSES=[18]), root_path=str(tmp_path))
+    pts = np.zeros((100, 4), np.float32)
+    pts[:, :2] = rng.rand(100, 2) * 20
+    seg = np.full(100, 18, np.int64)  # all road -> support surface
+    d = {"points": pts.copy(), "segmentation_label": seg.copy()}
+    d = sampler(d)
+    assert len(d["points"]) == 130
+    assert (d["segmentation_label"] == 2).sum() == 30
+    # pasted crop sits near some road point, z-aligned by trans_z
+    pasted = d["points"][100:]
+    assert abs(pasted[:, 2].mean() - 0.9) < 0.3
+
+
+def test_point_contrast_views():
+    from pcseqlearning_tpu.datasets.augmentor import point_contrast_views
+
+    np.random.seed(0)
+    pts = np.random.rand(50, 4).astype(np.float32)
+    v1, v2, pairs = point_contrast_views(pts)
+    assert v1.shape == v2.shape == pts.shape
+    assert (pairs == np.arange(50)).all()
+    # rigid-ish: pairwise distances preserved up to scale+jitter
+    d0 = np.linalg.norm(pts[0, :3] - pts[1, :3])
+    d1 = np.linalg.norm(v1[0, :3] - v1[1, :3])
+    assert abs(d1 - d0) < 0.3 * d0 + 0.2

@@ -66,3 +66,56 @@ def test_primitive_head(rng):
     gt_n = np.asarray(out["primitive_normal_preds"])
     loss = PrimitiveHead.loss(out, jnp.asarray(gt_n), jnp.ones(n, bool))
     assert float(loss) < 1e-5  # identical normals -> zero loss
+
+
+def test_hybrid_seg_head_and_losses(rng):
+    import jax
+    import jax.numpy as jnp
+    from pcseqlearning_tpu.models.extra_heads import (
+        HybridSegHead, ImplicitReconstructionHead, PointSequenceReconstructionHead)
+
+    n = 128
+    bd = {
+        "point_features": jnp.asarray(rng.rand(n, 16).astype(np.float32)),
+        "point_coords": jnp.asarray(
+            np.concatenate([np.zeros((n, 1)), rng.rand(n, 3) * 4], 1).astype(np.float32)),
+        "point_valid": jnp.ones(n, bool),
+    }
+    head = HybridSegHead(num_classes=5)
+    v = head.init(jax.random.PRNGKey(0), bd, train=True)
+    out, _ = head.apply(v, dict(bd), train=True, mutable=["batch_stats"])
+    labels = jnp.asarray(rng.randint(0, 5, n))
+    l = HybridSegHead.loss(out, labels, out["point_valid"])
+    assert np.isfinite(float(l)) and float(l) > 0
+
+    rec = ImplicitReconstructionHead(latent=(16,), num_samples_per_dim=2)
+    v = rec.init(jax.random.PRNGKey(0), dict(bd), train=True)
+    out, _ = rec.apply(v, dict(bd), train=True, mutable=["batch_stats"])
+    assert out["rec_occupancy_logits"].shape == (n, 8)
+    l = ImplicitReconstructionHead.loss(out)
+    assert np.isfinite(float(l))
+
+    seq = PointSequenceReconstructionHead(latent=(16,), num_predicted_points=4)
+    v = seq.init(jax.random.PRNGKey(0), dict(bd), train=True)
+    out, _ = seq.apply(v, dict(bd), train=True, mutable=["batch_stats"])
+    assert out["rec_pred_nbrhood"].shape == (n, 4, 3)
+    l = PointSequenceReconstructionHead.loss(out)
+    assert np.isfinite(float(l)) and float(l) >= 0
+
+
+def test_ohem_losses(rng):
+    import jax.numpy as jnp
+    from pcseqlearning_tpu.utils.loss_utils import ohem_ce_loss, ohem_reg_loss
+
+    logits = jnp.asarray(rng.randn(100, 4).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 4, 100))
+    l = ohem_ce_loss(logits, labels, jnp.ones(100, bool), thresh=0.7)
+    assert np.isfinite(float(l)) and float(l) > 0
+    # confident-correct rows contribute nothing
+    easy = jnp.asarray(np.eye(4, dtype=np.float32)[np.zeros(50, int)] * 50)
+    l2 = ohem_ce_loss(easy, jnp.zeros(50, jnp.int32), jnp.ones(50, bool), thresh=0.7, min_kept=0.0)
+    assert float(l2) < 1e-3
+
+    r = ohem_reg_loss(jnp.ones((4, 2)), jnp.zeros((4, 2)),
+                      jnp.asarray([0.0, 0.4, 1.0, 3.0]), {0.3: 2.0, 2.0: 5.0})
+    assert abs(float(r) - np.mean([1, 2, 2, 5])) < 1e-5

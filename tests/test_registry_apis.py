@@ -73,3 +73,23 @@ def test_primitive_fitting_plane(rng):
     true_n /= np.linalg.norm(true_n)
     got = normals[valid][0]
     assert abs(abs(got @ true_n) - 1) < 1e-2
+
+
+def test_gd_solver_component_registration():
+    import jax.numpy as jnp
+    from pcseqlearning_tpu.preprocessing.solver_utils import gd_register_components
+
+    rng = np.random.RandomState(0)
+    src = rng.rand(128, 3).astype(np.float32) * 2
+    t = np.array([0.3, -0.2, 0.0], np.float32)
+    dst = src + t
+    T, l1, ratio = gd_register_components(
+        jnp.asarray(src), jnp.zeros(128, jnp.int32), jnp.ones(128, bool),
+        jnp.asarray(dst), jnp.ones(128, bool), 1, jnp.asarray(1.0, jnp.float32),
+        rigid_weight=10.0, num_iters=400, num_rounds=8,
+    )
+    T = np.asarray(T)[0]
+    # the velocity-field solver contracts toward the offset through NN
+    # refresh rounds (per-round NN bias on dense random clouds)
+    assert np.abs(T[:3, 3] - t).max() < 0.1, T[:3, 3]
+    assert np.abs(T[:3, :3] - np.eye(3)).max() < 0.05
