@@ -421,3 +421,41 @@ class ImageVFE(nn.Module):
 
 
 VFES["ImageVFE"] = ImageVFE
+
+
+class TemporalVFE(nn.Module):
+    """Temporal correspondence VFE (reference vfe/temporal_vfe.py:14-59):
+    links each sweep's points to their nearest neighbor in the NEXT sweep
+    (radius-1 NN with the sqrt(1+r^2) temporal-window trick) and exposes
+    the chained sequence edges; point features pass through."""
+
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    voxel_cap: int
+    radius: float = 0.5
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = False):
+        from ..ops import hash_graph
+
+        pts = batch_dict["point_bxyz"]
+        n = pts.shape[0]
+        valid = batch_dict.get("point_valid", jnp.ones(n, bool))
+        sweep = jnp.round(pts[:, 0]).astype(jnp.int32)
+        # cross-sweep NN: shift the query's sweep coordinate by +1 so each
+        # point probes the NEXT sweep's cells (module contract of
+        # hash_graph: frame is an exact-match key)
+        ref_f = pts
+        q_f = pts.at[:, 0].add(1.0)
+        grid = hash_graph.build_hash_grid(ref_f, self.radius, valid)
+        idx, _, ok = hash_graph.radius_neighbors(
+            grid, q_f, self.radius, 1, query_valid=valid,
+        )
+        batch_dict["sequence_edge_src"] = jnp.arange(n, dtype=jnp.int32)
+        batch_dict["sequence_edge_dst"] = idx[:, 0]
+        batch_dict["sequence_edge_valid"] = ok[:, 0]
+        batch_dict["point_xyz"] = pts.at[:, 0].set(0.0)
+        return batch_dict
+
+
+VFES["TemporalVFE"] = TemporalVFE

@@ -511,9 +511,12 @@ class GroundPlaneRemover:
         # this capacity ~1500 times, so a tight table is the difference
         # between HBM-bound and compute-bound.
         pts_np = np.asarray(point_fxyz)
-        coords_np = np.floor(
-            (pts_np[:, 1:4] - pts_np[:, 1:4].min(0)) / np.array([0.10, 0.10, 0.03])
-        ).astype(np.int64)
+        # contiguous f32 all the way: a strided view divided by a float64
+        # vector promotes the whole [N, 3] op chain to f64 (~10s at Waymo
+        # sequence scale)
+        xyz_np = np.ascontiguousarray(pts_np[:, 1:4], dtype=np.float32)
+        inv_vs = np.asarray([1.0 / 0.10, 1.0 / 0.10, 1.0 / 0.03], np.float32)
+        coords_np = np.floor((xyz_np - xyz_np.min(0)) * inv_vs).astype(np.int64)
         n_occ = len(np.unique(
             (coords_np[:, 0] << 42) + (coords_np[:, 1] << 21) + coords_np[:, 2]
         ))

@@ -54,6 +54,51 @@ def load_checkpoint(path, target_state):
     return ckptr.restore(os.path.abspath(path), target=jax.device_get(target_state))
 
 
+def load_params_from_file(path, target_state, strict=False, logger=None):
+    """Non-strict parameter loading with shape adaptation (reference
+    RegistrationTemplate._load_state_dict,
+    registration_module_template.py:98-110: keys missing from the ckpt keep
+    their init values; shape-mismatched leaves adapt when the element count
+    matches — the spconv 1.x<->2.x kernel-layout case — else keep init)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        loaded = ckptr.restore(os.path.abspath(path))
+    except BaseException:
+        loaded = ckptr.restore(os.path.abspath(path), target=jax.device_get(target_state))
+    tgt = jax.device_get(target_state)
+
+    import jax.tree_util as jtu
+
+    tgt_flat = dict(jtu.tree_flatten_with_path(tgt)[0])
+    out_flat = {}
+    loaded_flat = dict(jtu.tree_flatten_with_path(loaded)[0]) if loaded is not None else {}
+    n_adapt = n_skip = 0
+    for pth, tleaf in tgt_flat.items():
+        lleaf = loaded_flat.get(pth)
+        if lleaf is None or not hasattr(tleaf, "shape"):
+            out_flat[pth] = tleaf
+            continue
+        import numpy as np
+
+        lleaf = np.asarray(lleaf)
+        if lleaf.shape == tleaf.shape:
+            out_flat[pth] = lleaf
+        elif lleaf.size == getattr(tleaf, "size", -1):
+            out_flat[pth] = lleaf.reshape(tleaf.shape)  # layout adaptation
+            n_adapt += 1
+        else:
+            if strict:
+                raise ValueError(f"shape mismatch at {pth}: {lleaf.shape} vs {tleaf.shape}")
+            out_flat[pth] = tleaf
+            n_skip += 1
+    if logger is not None:
+        logger.info(f"loaded {len(out_flat)} params ({n_adapt} layout-adapted, {n_skip} kept-init)")
+    treedef = jtu.tree_structure(tgt)
+    return jtu.tree_unflatten(treedef, [out_flat[p] for p, _ in jtu.tree_flatten_with_path(tgt)[0]])
+
+
 def train_one_epoch(train_step, state, loader, batch_converter, epoch, logger=None, tb_writer=None, log_every=50):
     data_meter, batch_meter = AverageMeter(), AverageMeter()
     end = time.time()

@@ -151,3 +151,27 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = load_checkpoint(latest, state)
     assert int(restored.step) == 9
     np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0))
+
+
+def test_load_params_shape_adaptation(tmp_path):
+    """Non-strict loading: matching keys load, count-matching shapes
+    reshape (layout adaptation), mismatches keep init values."""
+    import jax
+    import orbax.checkpoint as ocp
+    from pcseqlearning_tpu.runtime.train_utils import load_params_from_file
+
+    src = {"a": np.arange(12, dtype=np.float32).reshape(3, 4),
+           "b": np.ones((2, 2), np.float32)}
+    ckptr = ocp.StandardCheckpointer()
+    path = str(tmp_path / "ck")
+    ckptr.save(path, src)
+    ckptr.wait_until_finished()
+
+    tgt = {"a": np.zeros((4, 3), np.float32),   # same count, new layout
+           "b": np.zeros((5, 5), np.float32),   # mismatch -> keep init
+           "c": np.full((2,), 7.0, np.float32)}  # missing -> keep init
+    out = load_params_from_file(path, tgt)
+    assert np.allclose(np.asarray(out["a"]).ravel(), np.arange(12))
+    assert out["a"].shape == (4, 3)
+    assert np.allclose(out["b"], 0)
+    assert np.allclose(out["c"], 7.0)

@@ -78,3 +78,26 @@ def test_repsurf_dynamic_vfe_forward():
     assert vf.shape[1] == 24 + 10  # mlp out + repsurf channels
     assert np.isfinite(vf).all()
     assert np.asarray(out["voxel_valid"]).sum() > 0
+
+
+def test_temporal_vfe_sequence_edges():
+    from pcseqlearning_tpu.models.vfe import TemporalVFE
+
+    rng = np.random.RandomState(0)
+    # two sweeps of the same 32 points shifted by 0.1 -> cross-sweep NN
+    base = rng.rand(32, 3).astype(np.float32) * 5
+    pts = np.concatenate([
+        np.concatenate([np.zeros((32, 1)), base], 1),
+        np.concatenate([np.ones((32, 1)), base + 0.1], 1),
+    ]).astype(np.float32)
+    bd = {"point_bxyz": jnp.asarray(pts), "point_feat": jnp.zeros((64, 1)),
+          "batch_size": 2}
+    m = TemporalVFE(voxel_size=(0.1,) * 3, point_cloud_range=(0, 0, 0, 5, 5, 5), voxel_cap=64)
+    out = m.apply(m.init(jax.random.PRNGKey(0), bd), bd)
+    ok = np.asarray(out["sequence_edge_valid"])
+    dst = np.asarray(out["sequence_edge_dst"])
+    # sweep-0 points link to their shifted twin in sweep 1
+    assert ok[:32].all()
+    assert (dst[:32] == np.arange(32) + 32).mean() > 0.9
+    # sweep-1 points have no next sweep
+    assert not ok[32:].any()
