@@ -383,10 +383,20 @@ class WaymoDataset(DatasetTemplate):
         return annos
 
     def evaluation(self, det_annos, class_names, eval_metric="waymo", **kwargs):
-        """Native recall/IoU evaluation; official Waymo TF metrics remain an
-        optional host dependency exactly as in the reference
-        (waymo_eval.py imports the TF graph only when requested)."""
-        from ..runtime.eval_utils import simple_detection_eval
-
+        """Detection metric dispatch (reference waymo_dataset.py:785):
+        'waymo' -> the native TF-free Waymo-style AP/APH (L1/L2, Hungarian,
+        range buckets); 'waymo_ii' adds the interaction-index breakdown;
+        'simple' -> greedy-matching AP. The official TF estimator remains
+        an optional host dependency as in the reference."""
         gt_annos = [copy.deepcopy(info["annos"]) for info in self.infos[: len(det_annos)]]
-        return simple_detection_eval(det_annos, gt_annos, class_names)
+        if eval_metric == "simple":
+            from ..runtime.eval_utils import simple_detection_eval
+
+            return simple_detection_eval(det_annos, gt_annos, class_names)
+        if eval_metric == "waymo_ii":
+            from .waymo_eval_ii import ap_by_interaction_index
+
+            return ap_by_interaction_index(det_annos, gt_annos, class_names)
+        from ..runtime.eval_utils import waymo_style_ap
+
+        return waymo_style_ap(det_annos, gt_annos, class_names)

@@ -1,0 +1,109 @@
+"""Point-sharded neighbor search with ICI halo exchange — the multi-chip
+path for whole-sequence point clouds.
+
+The reference processes a 210-sweep sequence (~3e7 points) as ONE tensor on
+one GPU (SURVEY §5 long-context scaling); the TPU upgrade path shards the
+point table across chips and exchanges boundary halos so radius queries
+stay local (SURVEY §5: "shard the point table across chips and implement
+halo exchange for radius queries with ppermute over ICI").
+
+Layout: points sort by x on host and split into D contiguous slabs of equal
+count. Under shard_map each device extracts fixed-capacity boundary strips
+(points within ``radius`` of its slab edges), `ppermute`s them to its ring
+neighbors over ICI, builds the hash grid over local+halo points, and
+queries its local points. Neighbor ids returned are GLOBAL row indices.
+
+Ring wraparound halos (device 0 <-> D-1) are spatially distant by
+construction (x-sorted slabs), so the exact distance test discards them.
+Strips beyond ``halo_cap`` truncate (documented, like cell_cap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def shard_points_by_x(fxyz, num_shards):
+    """Host prep: x-sort and split into equal-count slabs.
+
+    Returns (points [D, N_loc, 4], gids [D, N_loc], valid [D, N_loc],
+    unsort [N] — original row of each (d, i) slot flattened)."""
+    n = len(fxyz)
+    order = np.argsort(fxyz[:, 1], kind="stable").astype(np.int64)
+    n_loc = -(-n // num_shards)
+    pad = num_shards * n_loc - n
+    fxyz_s = np.concatenate([fxyz[order], np.full((pad, fxyz.shape[1]), 1e8, fxyz.dtype)])
+    gids = np.concatenate([order, np.full(pad, -1, np.int64)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return (
+        fxyz_s.reshape(num_shards, n_loc, -1),
+        gids.reshape(num_shards, n_loc).astype(np.int32),
+        valid.reshape(num_shards, n_loc),
+    )
+
+
+def _compact_strip(points, ids, sel, cap):
+    """Fixed-cap compaction of selected rows (order-free)."""
+    n = points.shape[0]
+    order = jnp.argsort(~sel)  # selected rows first
+    take = order[:cap]
+    return points[take], ids[take], sel[take]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "k", "halo_cap", "cell_cap")
+)
+def sharded_radius_neighbors(points, gids, valid, radius, mesh, axis="dp",
+                             k=16, halo_cap=4096, cell_cap=48):
+    """Radius k-NN over an x-sharded point table.
+
+    points [D, N_loc, 4] (frame, x, y, z); gids [D, N_loc] global row ids;
+    valid [D, N_loc]. Returns (neighbor_gids [D, N_loc, k], dist2, mask)
+    aligned to the sharded layout.
+    """
+    from ..ops import hash_graph
+
+    D = mesh.shape[axis]
+    radius = jnp.asarray(radius, points.dtype)
+
+    def local(pts, ids, val):
+        pts, ids, val = pts[0], ids[0], val[0]
+        x = pts[:, 1]
+        big = jnp.asarray(1e8, pts.dtype)
+        xmin = jnp.min(jnp.where(val, x, big))
+        xmax = jnp.max(jnp.where(val, x, -big))
+        left_sel = val & (x <= xmin + radius)
+        right_sel = val & (x >= xmax - radius)
+        lp, li, lv = _compact_strip(pts, ids, left_sel, halo_cap)
+        rp, ri, rv = _compact_strip(pts, ids, right_sel, halo_cap)
+
+        fwd = [(i, (i + 1) % D) for i in range(D)]
+        bwd = [(i, (i - 1) % D) for i in range(D)]
+        # my right strip becomes the right neighbor's left halo, and vice
+        # versa — two ppermutes over the ICI ring
+        halo_from_left = tuple(jax.lax.ppermute(t, axis, fwd) for t in (rp, ri, rv))
+        halo_from_right = tuple(jax.lax.ppermute(t, axis, bwd) for t in (lp, li, lv))
+
+        all_pts = jnp.concatenate([pts, halo_from_left[0], halo_from_right[0]])
+        all_ids = jnp.concatenate([ids, halo_from_left[1], halo_from_right[1]])
+        all_val = jnp.concatenate([val, halo_from_left[2], halo_from_right[2]])
+
+        grid = hash_graph.build_hash_grid(all_pts, radius, all_val)
+        idx, d2, mask = hash_graph.radius_neighbors(
+            grid, pts, radius, k, query_valid=val, cell_cap=cell_cap
+        )
+        n_all = all_pts.shape[0]
+        out_gids = jnp.where(mask, all_ids[jnp.clip(idx, 0, n_all - 1)], -1)
+        return out_gids[None], d2[None], mask[None]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(points, gids, valid)

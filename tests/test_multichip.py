@@ -90,3 +90,41 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     assert out.ndim == 4
     ge.dryrun_multichip(8)
+
+
+def test_sharded_radius_neighbors_matches_single_device(rng):
+    """x-sharded halo-exchange radius search over the 8-device CPU mesh
+    must reproduce the single-table result (global neighbor id sets)."""
+    from pcseqlearning_tpu.ops import hash_graph
+    from pcseqlearning_tpu.parallel import make_mesh
+    from pcseqlearning_tpu.parallel.point_shard import (
+        shard_points_by_x, sharded_radius_neighbors)
+
+    n, k, r = 2000, 8, 0.7
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 1:] = rng.rand(n, 3) * np.array([40, 8, 3])
+    mesh = make_mesh(devices=jax.devices(), dp=8, mp=1)
+    sp, gi, va = shard_points_by_x(pts, 8)
+    out_gids, out_d2, out_mask = sharded_radius_neighbors(
+        jnp.asarray(sp), jnp.asarray(gi), jnp.asarray(va),
+        jnp.asarray(r, jnp.float32), mesh=mesh, k=k,
+    )
+    out_gids = np.asarray(out_gids).reshape(-1, k)
+    out_mask = np.asarray(out_mask).reshape(-1, k)
+    gi_flat = np.asarray(gi).reshape(-1)
+
+    ref_idx, ref_d2, ref_mask = hash_graph.radius_graph(
+        jnp.asarray(pts), jnp.asarray(pts), r, k)
+    ref_idx, ref_mask = np.asarray(ref_idx), np.asarray(ref_mask)
+
+    # compare per-query neighbor id sets in GLOBAL space
+    checked = 0
+    for slot in range(0, len(gi_flat), 97):
+        q = gi_flat[slot]
+        if q < 0:
+            continue
+        got = set(out_gids[slot][out_mask[slot]].tolist())
+        want = set(ref_idx[q][ref_mask[q]].tolist())
+        assert got == want, (q, got, want)
+        checked += 1
+    assert checked > 15
