@@ -253,6 +253,26 @@ class Detector3DTemplate(nn.Module):
             batch_dict = self._run_roi_stage(batch_dict, train)
         return batch_dict
 
+    def predict(self, batch_dict):
+        """Forward + decoded per-sample predictions, normalized across head
+        types (reference detector3d_template.post_processing). Returns
+        (batch_dict, boxes [B, K, 7], scores [B, K], labels [B, K],
+        valid [B, K]) — callable via model.apply(..., method='predict') so
+        submodules stay bound."""
+        out = self(batch_dict, train=False)
+        if self.roi_head is not None and "refined_boxes" in out:
+            boxes = out["refined_boxes"]
+            scores = out["refined_scores"]
+            labels = jnp.ones(scores.shape, jnp.int32)
+            valid = out["roi_valid"]
+            return out, boxes, scores, labels, valid
+        if "center_preds" in out:
+            boxes, scores, labels, valid = self.dense_head.generate_predicted_boxes(out)
+            return out, boxes, scores, labels, valid
+        raw_boxes, raw_scores = self.dense_head.generate_predicted_boxes(out)
+        boxes, scores, labels, valid = jax.vmap(post_process_anchor)(raw_boxes, raw_scores)
+        return out, boxes, scores, labels, valid
+
     def _run_roi_stage(self, batch_dict, train):
         """Two-stage refinement: per-sample proposal NMS -> flattened RoI
         table -> pooled head -> (train) target assignment + losses

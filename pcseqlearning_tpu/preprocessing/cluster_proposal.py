@@ -184,6 +184,10 @@ class ClusterProposal:
             gt_box_id = np.zeros(n, np.int64) - 1
             pred_box_id = np.zeros(n, np.int64) - 1
 
+            # batch all frames into one vmapped evaluation (40 synced
+            # dispatches -> 1): pad every frame to the sequence-wide caps
+            frames_data = []
+            p_cap = b_cap = c_cap = 1
             for fid in range(num_frames):
                 pm = frame == fid
                 bm = seq_boxes.frame == fid
@@ -191,26 +195,41 @@ class ClusterProposal:
                     continue
                 pts = fxyz[pm][:, 1:4].astype(np.float32)
                 comp_f = component[pm]
-                # dense local component ids
                 uniq, local = np.unique(comp_f, return_inverse=True)
-                c_cap = bucket_size(len(uniq), base=128)
-                p_cap = bucket_size(pts.shape[0])
                 b_idx = np.nonzero(bm)[0]
-                b_cap = bucket_size(len(b_idx), base=32)
-                pts_p, pvalid = pad_rows(pts, p_cap, fill=1e8)
-                loc_p, _ = pad_rows(local.astype(np.int32), p_cap, fill=-1)
-                boxes_p, bvalid = pad_rows(seq_boxes.attr[bm].astype(np.float32), b_cap)
-                bb, gid, pid = _evaluate_frame(
-                    jnp.asarray(pts_p), jnp.asarray(pvalid), jnp.asarray(loc_p),
-                    jnp.asarray(boxes_p), jnp.asarray(bvalid), c_cap,
-                )
-                bb = np.asarray(bb)[: len(b_idx)]
-                upd = bb > best_iou[b_idx]
-                best_iou[b_idx[upd]] = bb[upd]
-                gid_np = np.asarray(gid)[: pts.shape[0]]
-                pid_np = np.asarray(pid)[: pts.shape[0]]
-                gt_box_id[pm] = np.where(gid_np >= 0, b_idx[np.clip(gid_np, 0, None)], -1)
-                pred_box_id[pm] = np.where(pid_np >= 0, b_idx[np.clip(pid_np, 0, None)], -1)
+                frames_data.append((pm, pts, local, b_idx))
+                p_cap = max(p_cap, len(pts))
+                b_cap = max(b_cap, len(b_idx))
+                c_cap = max(c_cap, len(uniq))
+            p_cap = bucket_size(p_cap)
+            b_cap = bucket_size(b_cap, base=32)
+            c_cap = bucket_size(c_cap, base=128)
+            F = len(frames_data)
+            if F:
+                pts_a = np.full((F, p_cap, 3), 1e8, np.float32)
+                pv_a = np.zeros((F, p_cap), bool)
+                loc_a = np.full((F, p_cap), -1, np.int32)
+                box_a = np.zeros((F, b_cap, 7), np.float32)
+                bv_a = np.zeros((F, b_cap), bool)
+                for i, (pm, pts, local, b_idx) in enumerate(frames_data):
+                    pts_a[i, : len(pts)] = pts
+                    pv_a[i, : len(pts)] = True
+                    loc_a[i, : len(pts)] = local
+                    box_a[i, : len(b_idx)] = seq_boxes.attr[b_idx]
+                    bv_a[i, : len(b_idx)] = True
+                bb_a, gid_a, pid_a = jax.vmap(
+                    functools.partial(_evaluate_frame, c_cap=c_cap)
+                )(jnp.asarray(pts_a), jnp.asarray(pv_a), jnp.asarray(loc_a),
+                  jnp.asarray(box_a), jnp.asarray(bv_a))
+                bb_a, gid_a, pid_a = map(np.asarray, (bb_a, gid_a, pid_a))
+                for i, (pm, pts, local, b_idx) in enumerate(frames_data):
+                    bb = bb_a[i][: len(b_idx)]
+                    upd = bb > best_iou[b_idx]
+                    best_iou[b_idx[upd]] = bb[upd]
+                    gid_np = gid_a[i][: len(pts)]
+                    pid_np = pid_a[i][: len(pts)]
+                    gt_box_id[pm] = np.where(gid_np >= 0, b_idx[np.clip(gid_np, 0, None)], -1)
+                    pred_box_id[pm] = np.where(pid_np >= 0, b_idx[np.clip(pid_np, 0, None)], -1)
 
             for t in range(num_traces):
                 tm = seq_boxes.trace_id == t

@@ -162,3 +162,54 @@ def test_secondnet_iou(rng, runtime_cfg):
     losses, iou_preds = fwd(variables, init_arrs)
     assert "rpn_loss_iou" in losses and np.isfinite(float(losses["rpn_loss_iou"]))
     assert iou_preds.ndim == 4
+
+
+def test_predict_method_all_head_types(rng):
+    """model.apply(..., method='predict') must decode normalized
+    per-sample predictions for centerpoint, anchor, and two-stage heads
+    (the tools/test.py eval path)."""
+    import jax
+    import jax.numpy as jnp
+    from pcseqlearning_tpu.models.detectors import build_detector
+    from pcseqlearning_tpu.utils.edict import EDict
+
+    runtime_cfg = dict(
+        data_cfg={"POINT_CLOUD_RANGE": [-6.4, -6.4, -1.0, 6.4, 6.4, 2.2],
+                  "VOXEL_SIZE": [0.4, 0.4, 0.2]},
+        class_names=["Vehicle"], voxel_cap=1024,
+    )
+    n = 256
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.randint(0, 2, n)
+    pts[:, 1:3] = rng.rand(n, 2) * 12 - 6
+    pts[:, 3] = rng.rand(n) * 2.5 - 0.8
+    batch = {"point_bxyz": jnp.asarray(pts),
+             "point_feat": jnp.asarray(rng.rand(n, 1).astype(np.float32)),
+             "batch_size": 2,
+             "gt_boxes": jnp.zeros((2, 1, 8))}
+
+    cfgs = [
+        EDict(NAME="CenterPoint", VFE={"NAME": "DynamicMeanVFE"},
+              BACKBONE_3D={"NAME": "VoxelBackBone8x"},
+              MAP_TO_BEV={"NAME": "HeightCompression"},
+              BACKBONE_2D={"NAME": "BaseBEVBackbone", "LAYER_NUMS": [1], "LAYER_STRIDES": [1],
+                           "NUM_FILTERS": [16], "UPSAMPLE_STRIDES": [1], "NUM_UPSAMPLE_FILTERS": [16]},
+              DENSE_HEAD={"NAME": "CenterHead", "FEATURE_MAP_STRIDE": 8}),
+        EDict(NAME="SECONDNet", VFE={"NAME": "DynamicMeanVFE"},
+              BACKBONE_3D={"NAME": "VoxelBackBone8x"},
+              MAP_TO_BEV={"NAME": "HeightCompression"},
+              BACKBONE_2D={"NAME": "BaseBEVBackbone", "LAYER_NUMS": [1], "LAYER_STRIDES": [1],
+                           "NUM_FILTERS": [16], "UPSAMPLE_STRIDES": [1], "NUM_UPSAMPLE_FILTERS": [16]},
+              DENSE_HEAD={"NAME": "AnchorHeadSingle", "FEATURE_MAP_STRIDE": 8,
+                          "ANCHOR_GENERATOR_CONFIG": [
+                              {"anchor_sizes": [[4.2, 2.0, 1.6]], "anchor_rotations": [0, 1.57],
+                               "anchor_bottom_heights": [0.0],
+                               "matched_threshold": 0.55, "unmatched_threshold": 0.4}]}),
+    ]
+    for cfg in cfgs:
+        model = build_detector(cfg, runtime_cfg)
+        v = model.init(jax.random.PRNGKey(0), dict(batch), train=False)
+        out, boxes, scores, labels, valid = model.apply(v, dict(batch), method="predict")
+        assert boxes.shape[0] == 2 and boxes.shape[-1] == 7
+        assert scores.shape == boxes.shape[:2] == labels.shape == valid.shape
+        assert np.isfinite(np.asarray(boxes)).all()

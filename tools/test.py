@@ -23,7 +23,6 @@ import numpy as np
 from pcseqlearning_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
 from pcseqlearning_tpu.datasets import build_dataloader
 from pcseqlearning_tpu.models import build_network
-from pcseqlearning_tpu.models.detectors import post_process_anchor
 from pcseqlearning_tpu.parallel.train_step import dense_batch_from_collated, _flatten_local, init_train_state
 from pcseqlearning_tpu.runtime import train_utils
 from pcseqlearning_tpu.runtime.optimization import build_optimizer
@@ -61,18 +60,10 @@ def eval_ckpt(model, state, loader, dataset, logger, n_cap):
             jnp.asarray(dense["points"]), jnp.asarray(dense["feats"]),
             jnp.asarray(dense["valid"]), jnp.asarray(dense["gt_boxes"]),
         )
-        out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, bd, train=False,
+        out, boxes, scores, labels, valid = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, bd,
+            method="predict",
         )
-        if "center_preds" in out:
-            boxes, scores, labels, valid = model.dense_head.generate_predicted_boxes(out)
-        else:
-            raw_boxes, raw_scores = model.dense_head.generate_predicted_boxes(out)
-            boxes, scores, labels, valid = [], [], [], []
-            for b in range(raw_boxes.shape[0]):
-                bb, ss, ll, vv = post_process_anchor(raw_boxes[b], raw_scores[b])
-                boxes.append(bb); scores.append(ss); labels.append(ll); valid.append(vv)
-            boxes, scores, labels, valid = map(jnp.stack, (boxes, scores, labels, valid))
         pred_dicts = []
         for b in range(boxes.shape[0]):
             v = np.asarray(valid[b])
