@@ -210,8 +210,10 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
         return -neg_top, best_ref
 
     # bound per-kernel size: big query sets run as a lax.map over fixed
-    # chunks (one fused mega-kernel at M~400k faults the TPU)
-    chunk = max(1, _VECTORIZE_MAX_SLOTS // (n_off * cell_cap))
+    # chunks (one fused mega-kernel at M~400k faults the TPU, and the
+    # remote compile helper has also been seen dying on single-scan
+    # programs just below the slot budget — keep chunks modest)
+    chunk = max(1, min(_VECTORIZE_MAX_SLOTS // (n_off * cell_cap), 32768))
     if m <= chunk:
         best_d, best_i = scan_chunk(query_fxyz)
     else:

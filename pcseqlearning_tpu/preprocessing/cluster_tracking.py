@@ -787,23 +787,26 @@ class ClusterTracking:
             if len(ex_xyz) == 0:
                 continue
 
-            # claim full-res points by NN into the extracted cloud
-            # (radius*sqrt(3), reference 342-360); the 2D-column hash scan
-            # makes this ~0.2s/frame at Waymo density — the tile-claim
-            # kernel's [N, 2, Pe] gather was the slower path on TPU
-            cap_r = bucket_size(max(len(ex_xyz), 1))
-            cap_q = bucket_size(n_ref)
-            rx, rv = pad_rows(ex_xyz.astype(np.float32), cap_r, fill=1e8)
-            qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
-            nn_idx, nn_ok = _nn_match(
-                jnp.asarray(rx), jnp.asarray(rv), jnp.asarray(qx), jnp.asarray(qv),
-                jnp.asarray(self.nn_radius * 1.732, jnp.float32),
+            # claim full-res points via per-component extracted tiles
+            # (radius*sqrt(3), reference 342-360): one [C, N] matmul + a
+            # 2-nearest-center tile test — measured faster end-to-end than
+            # a per-frame hash NN (17 grid builds/queries per tracked frame)
+            from .tracking_batched import pack_components
+
+            Pe = int(self.model_cfg.get("TRACE_TILE_POINTS", 1024))
+            C = bucket_size(num_components, base=64)
+            tile, tmask = pack_components(
+                ex_xyz.astype(np.float32), ex_comp.astype(np.int64),
+                np.ones(len(ex_xyz), bool), C, Pe,
             )
-            nn_idx = np.asarray(nn_idx)[:n_ref]
-            nn_ok = np.asarray(nn_ok)[:n_ref]
-            e_ext = np.clip(nn_idx, 0, max(len(ex_xyz) - 1, 0))
-            comp_np = np.where(nn_ok, ex_comp[e_ext], -1)
-            zsel = ex_xyz[e_ext, 2]
+            cap_q = bucket_size(n_ref)
+            qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
+            comp_j, zsel = _claim_points_kernel(
+                jnp.asarray(qx), jnp.asarray(qv), jnp.asarray(tile),
+                jnp.asarray(tmask), jnp.asarray(self.nn_radius * 1.732, jnp.float32),
+            )
+            comp_np = np.asarray(comp_j)[:n_ref]
+            zsel = np.asarray(zsel)[:n_ref]
             ok = (comp_np >= 0) & (comp_np < num_components)
 
             # component center/diameter in BEV for edge filtering (360-368)
