@@ -165,28 +165,80 @@ def _ransac_all_ratios(vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, NP,
     are independent, so they run as a batch dimension (one 50-iter while
     loop at 30x arithmetic width instead of 1500 sequential iterations —
     the TPU-shaped schedule). Best hypothesis per coarse pillar selected by
-    inlier count, exactly like the sequential sweep."""
-    ratios = 0.3 + 0.7 * jnp.arange(num_ratios, dtype=z.dtype) / (num_ratios - 1.0)
+    inlier count, exactly like the sequential sweep.
+
+    With only a few hundred coarse pillars, every per-iteration segment
+    reduction is a dense [R*10, N] @ [N, NP] matmul against a fixed one-hot
+    membership matrix — MXU work instead of element-rate-bound scatters
+    (~25x per-iteration speedup at Waymo voxel counts). Moments are taken
+    in a per-pillar local frame so the cov = E[xx^T] - cc^T form doesn't
+    cancel catastrophically, and the matmuls run at HIGHEST precision."""
+    R = num_ratios
+    n = vox_xyz.shape[0]
+    f32 = z.dtype
+    hp = jax.lax.Precision.HIGHEST
+    ratios = 0.3 + 0.7 * jnp.arange(R, dtype=f32) / (R - 1.0)
+    pid = new_pidx.clip(0, NP - 1)
     cur_z = n_min_z[None, :] * ratios[:, None] + n_max_z[None, :] * (1.0 - ratios[:, None])
-    z_diff = cur_z[:, new_pidx.clip(0, NP - 1)] - z[None, :]
+    z_diff = cur_z[:, pid] - z[None, :]
     w0 = sigma2 / (z_diff * z_diff + sigma2)  # [R, N]
     w0 = jnp.where(vox_valid[None, :], w0, 0.0)
 
+    onehot = ((pid[:, None] == jnp.arange(NP, dtype=pid.dtype)[None, :])
+              & vox_valid[:, None]).astype(f32)  # [N, NP]
+    cnt = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)  # [NP]
+    pctr = jnp.dot(vox_xyz.T, onehot, precision=hp) / cnt[None, :]  # [3, NP]
+    xl = vox_xyz - pctr.T[pid]  # [N, 3] local frame, bounded by pillar extent
+    xlT = xl.T  # [3, N]
+    x6 = jnp.stack([
+        xlT[0] * xlT[0], xlT[0] * xlT[1], xlT[0] * xlT[2],
+        xlT[1] * xlT[1], xlT[1] * xlT[2], xlT[2] * xlT[2],
+    ])  # [6, N]
+    xl_sq = jnp.sum(xl * xl, axis=-1)  # [N]
+
     def step(w):
-        center = jax.vmap(
-            lambda wr: segment_ops.weighted_segment_mean(vox_xyz, wr, new_pidx, NP)
-        )(w)  # [R, NP, 3]
-        pidx_c = new_pidx.clip(0, NP - 1)
-        d = vox_xyz[None] - center[:, pidx_c]
-        ddT = (w[..., None, None] * d[..., :, None]) * d[..., None, :]
-        cov = jax.vmap(lambda x: segment_ops.segment_mean(x, new_pidx, NP))(ddT)
+        V = jnp.concatenate([
+            w[:, None, :],
+            w[:, None, :] * xlT[None, :, :],
+            w[:, None, :] * x6[None, :, :],
+        ], axis=1).reshape(R * 10, n)
+        S = jnp.dot(V, onehot, precision=hp).reshape(R, 10, NP)
+        sw = jnp.maximum(S[:, 0], 1e-6)  # [R, NP]
+        c = S[:, 1:4] / sw[:, None, :]  # [R, 3, NP] (local frame)
+        m2 = S[:, 4:10] / sw[:, None, :]  # [R, 6, NP]
+        cxx = m2[:, 0] - c[:, 0] * c[:, 0]
+        cxy = m2[:, 1] - c[:, 0] * c[:, 1]
+        cxz = m2[:, 2] - c[:, 0] * c[:, 2]
+        cyy = m2[:, 3] - c[:, 1] * c[:, 1]
+        cyz = m2[:, 4] - c[:, 1] * c[:, 2]
+        czz = m2[:, 5] - c[:, 2] * c[:, 2]
+        cov = jnp.stack([
+            jnp.stack([cxx, cxy, cxz], -1),
+            jnp.stack([cxy, cyy, cyz], -1),
+            jnp.stack([cxz, cyz, czz], -1),
+        ], -2)  # [R, NP, 3, 3]
         _, eigvecs = geometry.eigh3x3(cov)
         normal = eigvecs[..., 0]  # [R, NP, 3]
-        err = jnp.abs(jnp.sum(d * normal[:, pidx_c], axis=-1))  # [R, N]
-        new_w = sigma2 / (err * err + sigma2)
-        dist_w = 0.25 / (jnp.sum(d * d, axis=-1) + 0.25)
-        new_w = new_w * dist_w
+        cT = jnp.transpose(c, (0, 2, 1))  # [R, NP, 3]
+        cn = jnp.sum(cT * normal, axis=-1)  # [R, NP]
+        cc2 = jnp.sum(cT * cT, axis=-1)  # [R, NP]
+        # per-point pillar values: one [NP, R*8] table, one row-gather
+        table = jnp.concatenate([
+            normal.transpose(1, 0, 2).reshape(NP, R * 3),
+            cn.T, cT.transpose(1, 0, 2).reshape(NP, R * 3), cc2.T,
+        ], axis=1)  # [NP, R*8]
+        G = table[pid]  # [N, R*8]
+        n_pp = G[:, : R * 3].reshape(n, R, 3)
+        cn_pp = G[:, R * 3: R * 4]  # [N, R]
+        c_pp = G[:, R * 4: R * 7].reshape(n, R, 3)
+        cc2_pp = G[:, R * 7:]  # [N, R]
+        err = jnp.abs(jnp.sum(xl[:, None, :] * n_pp, axis=-1) - cn_pp).T  # [R, N]
+        d2 = jnp.maximum(
+            xl_sq[:, None] - 2.0 * jnp.sum(xl[:, None, :] * c_pp, axis=-1) + cc2_pp, 0.0
+        ).T  # [R, N]
+        new_w = sigma2 / (err * err + sigma2) * (0.25 / (d2 + 0.25))
         new_w = jnp.where(vox_valid[None, :], new_w, 0.0)
+        center = cT + pctr.T[None, :, :]  # back to the global frame
         return new_w, center, normal, err
 
     def cond(state):
@@ -199,7 +251,6 @@ def _ransac_all_ratios(vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, NP,
         done = jnp.max(jnp.abs(new_w - w)) < 1e-2
         return new_w, center, normal, err, it + 1, done
 
-    n = vox_xyz.shape[0]
     init = (
         w0,
         jnp.zeros((num_ratios, NP, 3), z.dtype),
@@ -210,10 +261,8 @@ def _ransac_all_ratios(vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, NP,
     )
     w, center, normal, err, _, _ = jax.lax.while_loop(cond, body, init)
 
-    hit = (err < sigma2 ** 0.5) & vox_valid[None, :]
-    num_hit = jax.vmap(
-        lambda h: segment_ops.segment_count(new_pidx, NP, weights=h.astype(z.dtype))
-    )(hit)  # [R, NP]
+    hit = ((err < sigma2 ** 0.5) & vox_valid[None, :]).astype(f32)
+    num_hit = jnp.dot(hit, onehot, precision=hp)  # [R, NP]
     best_r = jnp.argmax(num_hit, axis=0)  # [NP]
     take = lambda a: jnp.take_along_axis(a, best_r[None, :, None], axis=0)[0] if a.ndim == 3 else None
     best_conf = jnp.take_along_axis(num_hit, best_r[None, :], axis=0)[0]
@@ -492,6 +541,22 @@ def _solve_outputs_jit(vox_bxyz, pillar_idx, min_z, height):
     )
 
 
+@jax.jit
+def _count_occupied_voxels(point_fxyz):
+    """Distinct 0.10x0.10x0.03 cells, counted on device.
+
+    A three-key lexicographic sort (int32 per axis — no 64-bit packing, so
+    no overflow at any realistic scene extent) followed by a neighbor-diff
+    count; used only to size the voxel table, replacing a host-side
+    np.unique over the full sequence (~4s at Waymo scale)."""
+    xyz = point_fxyz[:, 1:4].astype(jnp.float32)
+    inv_vs = jnp.asarray([1.0 / 0.10, 1.0 / 0.10, 1.0 / 0.03], jnp.float32)
+    c = jnp.floor((xyz - xyz.min(axis=0)) * inv_vs).astype(jnp.int32)
+    cx, cy, cz = jax.lax.sort((c[:, 0], c[:, 1], c[:, 2]), num_keys=3)
+    changed = (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1]) | (cz[1:] != cz[:-1])
+    return 1 + jnp.sum(changed.astype(jnp.int32))
+
+
 class GroundPlaneRemover:
     """Host-side orchestration: subsample, solve (or warm-start from cached
     pillar heights), truncate below TRUNCATE_HEIGHT, emit stats.
@@ -511,15 +576,7 @@ class GroundPlaneRemover:
         # this capacity ~1500 times, so a tight table is the difference
         # between HBM-bound and compute-bound.
         pts_np = np.asarray(point_fxyz)
-        # contiguous f32 all the way: a strided view divided by a float64
-        # vector promotes the whole [N, 3] op chain to f64 (~10s at Waymo
-        # sequence scale)
-        xyz_np = np.ascontiguousarray(pts_np[:, 1:4], dtype=np.float32)
-        inv_vs = np.asarray([1.0 / 0.10, 1.0 / 0.10, 1.0 / 0.03], np.float32)
-        coords_np = np.floor((xyz_np - xyz_np.min(0)) * inv_vs).astype(np.int64)
-        n_occ = len(np.unique(
-            (coords_np[:, 0] << 42) + (coords_np[:, 1] << 21) + coords_np[:, 2]
-        ))
+        n_occ = int(_count_occupied_voxels(point_fxyz))
         from ..utils.padding import bucket_size
 
         vox_cap = bucket_size(n_occ, base=4096)
