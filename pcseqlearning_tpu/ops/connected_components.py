@@ -66,6 +66,52 @@ def connected_components(e_src, e_dst, num_nodes, e_mask=None, max_iters=64):
     return labels
 
 
+@functools.partial(jax.jit, static_argnames=("n_pull", "max_iters"))
+def connected_components_knn(idx, mask, n_pull=2, max_iters=64):
+    """Connected components straight from a kNN/radius neighbor table.
+
+    Args:
+        idx: [N, K] int32 neighbor ids of node n (row n), -1/masked allowed.
+        mask: [N, K] bool.
+
+    Per round: ``n_pull`` pull steps (each node adopts the min label over
+    its own neighbor list — pure [N, K] gathers) followed by one push step
+    (neighbors adopt my label — a single scatter-min), with pointer jumping
+    after each. Pulls cover the forward edge direction at gather speed, so
+    the expensive scatter only has to carry labels across asymmetric-kNN
+    pairs: ~3x faster than edge-list hooking at Waymo chunk sizes, and it
+    uses BOTH edge directions (an (a, b) pair where only a lists b still
+    merges), unlike a deduplicated undirected edge list built from one side.
+    """
+    n = idx.shape[0]
+    big = jnp.int32(2 ** 31 - 1)
+    idx_pad = jnp.where(mask, idx, n).astype(jnp.int32)  # scatter target pad row
+    idx_g = jnp.where(mask, idx, 0).astype(jnp.int32)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = labels
+        for _ in range(n_pull):
+            ln = jnp.where(mask, new[idx_g], big)
+            new = jnp.minimum(new, jnp.min(ln, axis=1))
+            new = new[new]
+            new = new[new]
+        padded = jnp.concatenate([new, jnp.array([big], jnp.int32)])
+        pushed = padded.at[idx_pad].min(new[:, None])
+        new = jnp.minimum(new, pushed[:n])
+        new = new[new]
+        new = new[new]
+        return new, jnp.any(new != labels), it + 1
+
+    labels0 = jnp.arange(n, dtype=jnp.int32)
+    labels, _, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True), 0))
+    return labels
+
+
 def compact_labels(labels, num_nodes=None, node_valid=None):
     """Relabel CC roots to dense component ids 0..C-1 (ordered by root id).
 

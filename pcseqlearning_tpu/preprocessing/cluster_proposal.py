@@ -32,12 +32,7 @@ def _chunk_components(fxyz, valid, radius, k, cell_cap=48):
     idx, _, mask = hash_graph.radius_graph(
         fxyz, fxyz, radius, k, ref_valid=valid, query_valid=valid, cell_cap=cell_cap
     )
-    e_ref, e_query, e_mask = hash_graph.edges_from_neighbors(idx, mask)
-    # CC hooks both endpoints, so each undirected edge is needed once —
-    # dropping the reciprocal direction halves the gather/scatter volume
-    # of every label-propagation round
-    e_mask = e_mask & (e_ref < e_query)
-    labels = cc.connected_components(e_ref, e_query, n, e_mask)
+    labels = cc.connected_components_knn(idx, mask)
     comp, num = cc.compact_labels(labels, node_valid=valid)
     return comp, num
 

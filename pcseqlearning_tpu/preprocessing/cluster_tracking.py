@@ -121,6 +121,16 @@ def _smooth_velo_kernel(velos, diffs, active, window, weight0=1.0, weight=10.0, 
     return jnp.where(active[None, :, None], v, velos)
 
 
+@jax.jit
+def _box_assign(pts, boxes, bvalid):
+    """Per-point owning box (first containing box id, -1 outside all) —
+    reference assigns by membership test order (cluster_tracking.py:382-
+    401); returned as one [N] int32 to keep the device->host transfer
+    small."""
+    bp = box_ops.points_in_boxes(pts, boxes) & bvalid[:, None]
+    return jnp.where(jnp.any(bp, axis=0), jnp.argmax(bp, axis=0), -1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _claim_points_kernel(query_xyz, query_valid, tile_xyz, tile_mask, radius):
     """Assign each query point to the component of its nearest tile point
@@ -772,6 +782,20 @@ class ClusterTracking:
         component_hit = np.zeros(num_components, np.int64)
         ex_frames = np.round(extracted.fxyz[:, 0]).astype(int)
 
+        # tile geometry sized to THIS window's occupancy: only components
+        # with extracted points get a tile row (dense local remap), and the
+        # tile depth is the largest per-(frame, component) point count —
+        # the per-frame tile H2D through the tunnel scales with C * Pe, and
+        # a sequence-wide [C_total, 1024] tile is ~10x oversized
+        active_comps = np.unique(extracted.component)
+        comp_to_local = np.full(num_components, -1, np.int64)
+        comp_to_local[active_comps] = np.arange(len(active_comps))
+        C = bucket_size(len(active_comps), base=64)
+        pair_cnt = np.bincount(
+            ex_frames * np.int64(num_components) + extracted.component
+        )
+        Pe_cap = int(self.model_cfg.get("TRACE_TILE_POINTS", 1024))
+        Pe = int(bucket_size(int(min(max(pair_cnt.max(), 32), Pe_cap)), base=32))
 
         for fid in np.unique(ex_frames):
             fb = seq_boxes.frame == fid
@@ -793,20 +817,25 @@ class ClusterTracking:
             # a per-frame hash NN (17 grid builds/queries per tracked frame)
             from .tracking_batched import pack_components
 
-            Pe = int(self.model_cfg.get("TRACE_TILE_POINTS", 1024))
-            C = bucket_size(num_components, base=64)
+            _tp = __import__("time").time()
+            ex_comp_local = comp_to_local[ex_comp]
             tile, tmask = pack_components(
-                ex_xyz.astype(np.float32), ex_comp.astype(np.int64),
-                np.ones(len(ex_xyz), bool), C, Pe,
+                ex_xyz.astype(np.float32), ex_comp_local, np.ones(len(ex_xyz), bool), C, Pe,
             )
+            _tp = self._tick("ex_pack", _tp)
             cap_q = bucket_size(n_ref)
             qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
             comp_j, zsel = _claim_points_kernel(
                 jnp.asarray(qx), jnp.asarray(qv), jnp.asarray(tile),
                 jnp.asarray(tmask), jnp.asarray(self.nn_radius * 1.732, jnp.float32),
             )
-            comp_np = np.asarray(comp_j)[:n_ref]
+            comp_local_np = np.asarray(comp_j)[:n_ref]
             zsel = np.asarray(zsel)[:n_ref]
+            comp_np = np.where(
+                (comp_local_np >= 0) & (comp_local_np < len(active_comps)),
+                active_comps[np.clip(comp_local_np, 0, len(active_comps) - 1)], -1,
+            )
+            _tp = self._tick("ex_claim", _tp)
             ok = (comp_np >= 0) & (comp_np < num_components)
 
             # component center/diameter in BEV for edge filtering (360-368)
@@ -827,6 +856,7 @@ class ClusterTracking:
             dist = np.linalg.norm(ref_xyz[:, :2] - cc[comp_c], axis=-1)
             ok &= dist < cd[comp_c] + 0.05
 
+            _tp = self._tick("ex_centerstats", _tp)
             sel = np.nonzero(ok)[0]
             comp_sel = comp_np[sel]
             fxyz_sel = np.concatenate(
@@ -847,10 +877,12 @@ class ClusterTracking:
                 boxes_p, bvalid = pad_rows(fboxes.astype(np.float32), cap_b)
                 cap_p = bucket_size(n_ref)
                 pts_p, pvalid = pad_rows(ref_xyz.astype(np.float32), cap_p, fill=1e8)
-                bp = np.asarray(
-                    box_ops.points_in_boxes(jnp.asarray(pts_p), jnp.asarray(boxes_p))
-                )[:Bf, :n_ref]
-                ref_gt = np.where(bp.any(0), bp.argmax(0), -1)
+                # box assignment argmax on device: D2H one [N] int vector
+                # instead of the [B, N] membership matrix (the tunnel makes
+                # per-frame multi-MB transfers the dominant cost here)
+                ref_gt = np.asarray(_box_assign(
+                    jnp.asarray(pts_p), jnp.asarray(boxes_p), jnp.asarray(bvalid)
+                ))[:n_ref]
                 gt_sel = ref_gt[sel]
                 pair_ok = gt_sel >= 0
                 inter = np.bincount(
@@ -866,6 +898,7 @@ class ClusterTracking:
                 iou_c = np.where(has, inter_best / (union + 1e-6), 0.0)
                 component_hit[: num_components] += (iou_c > 0.7).astype(np.int64)
                 np.maximum.at(seq_boxes.best_iou, b_idx[abox[has]], iou_c[has])
+            self._tick("ex_boxes", _tp)
 
         out = EDict(
             fxyz=np.concatenate(full.fxyz, axis=0) if full.fxyz else np.zeros((0, 4), np.float32),

@@ -185,3 +185,31 @@ def test_radius_graph_schedules_agree(rng, monkeypatch):
         sa = set(np.asarray(a[0])[i][np.asarray(a[2])[i]].tolist())
         sb = set(np.asarray(b[0])[i][np.asarray(b[2])[i]].tolist())
         assert sa == sb, i
+
+
+def test_connected_components_knn_matches_edge_list(rng):
+    """Pull-push CC over neighbor tables must match scipy on the same
+    symmetrized graph (including asymmetric-kNN pairs, which a one-sided
+    deduplicated edge list can drop)."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+
+    from pcseqlearning_tpu.ops import connected_components as cc
+
+    n, k = 500, 4
+    pts = rng.rand(n, 2).astype(np.float32) * 10
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1)
+    idx = order[:, 1:k + 1].astype(np.int32)
+    mask = np.take_along_axis(d2, idx, 1) < 1.0
+
+    labels = np.asarray(cc.connected_components_knn(jnp.asarray(idx), jnp.asarray(mask)))
+    rows = np.repeat(np.arange(n), k)[mask.reshape(-1)]
+    cols = idx.reshape(-1)[mask.reshape(-1)]
+    g = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    n_ref, lab_ref = csg.connected_components(g, directed=False)
+
+    assert len(np.unique(labels)) == n_ref
+    # same partition: every reference component maps to exactly one label
+    for c in range(n_ref):
+        assert len(np.unique(labels[lab_ref == c])) == 1
