@@ -124,9 +124,11 @@ class ClusterProposal:
         n = fxyz.shape[0]
         num_frames = int(frame.max()) + 1 if n else 0
 
+        # dispatch every (radius, chunk) program before reading any result
+        # back: jax dispatch is async, so the device crunches chunk i+1
+        # while the host pads chunk i+2 and drains chunk i
+        pending = []
         for comp_key, radius in zip(self.component_keys, self.radii):
-            component = np.zeros(n, dtype=np.int64)
-            total = 0
             for f0 in range(0, num_frames, self.chunk_frames):
                 m = (frame >= f0) & (frame < f0 + self.chunk_frames)
                 if not m.any():
@@ -138,11 +140,16 @@ class ClusterProposal:
                     jnp.asarray(padded), jnp.asarray(valid), radius,
                     self.cc_neighbors, cell_cap=self.cc_cell_cap,
                 )
-                comp = np.asarray(comp)[: pts.shape[0]]
-                component[m] = comp + total
-                total += int(num)
-            seq_dict[f"point_{comp_key}"] = component
-            print(f"Cluster Proposal {comp_key}: num_components={total}")
+                pending.append((comp_key, m, pts.shape[0], comp, num))
+
+        components = {k: np.zeros(n, dtype=np.int64) for k in self.component_keys}
+        totals = {k: 0 for k in self.component_keys}
+        for comp_key, m, n_pts, comp, num in pending:
+            components[comp_key][m] = np.asarray(comp)[:n_pts] + totals[comp_key]
+            totals[comp_key] += int(num)
+        for comp_key in self.component_keys:
+            seq_dict[f"point_{comp_key}"] = components[comp_key]
+            print(f"Cluster Proposal {comp_key}: num_components={totals[comp_key]}")
         return seq_dict
 
     # -- evaluation ---------------------------------------------------------

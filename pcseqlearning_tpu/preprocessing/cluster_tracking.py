@@ -797,6 +797,12 @@ class ClusterTracking:
         Pe_cap = int(self.model_cfg.get("TRACE_TILE_POINTS", 1024))
         Pe = int(bucket_size(int(min(max(pair_cnt.max(), 32), Pe_cap)), base=32))
 
+        # pass 1 — host prep + async device dispatch for every frame; the
+        # device runs frame i's claim/box programs while the host packs
+        # frame i+1's tiles, and nothing synchronizes until pass 2 reads
+        from .tracking_batched import pack_components
+
+        pending = []
         for fid in np.unique(ex_frames):
             fb = seq_boxes.frame == fid
             rm = all_points.frame == fid
@@ -811,13 +817,11 @@ class ClusterTracking:
             if len(ex_xyz) == 0:
                 continue
 
+            _tp = __import__("time").time()
             # claim full-res points via per-component extracted tiles
             # (radius*sqrt(3), reference 342-360): one [C, N] matmul + a
             # 2-nearest-center tile test — measured faster end-to-end than
             # a per-frame hash NN (17 grid builds/queries per tracked frame)
-            from .tracking_batched import pack_components
-
-            _tp = __import__("time").time()
             ex_comp_local = comp_to_local[ex_comp]
             tile, tmask = pack_components(
                 ex_xyz.astype(np.float32), ex_comp_local, np.ones(len(ex_xyz), bool), C, Pe,
@@ -829,6 +833,27 @@ class ClusterTracking:
                 jnp.asarray(qx), jnp.asarray(qv), jnp.asarray(tile),
                 jnp.asarray(tmask), jnp.asarray(self.nn_radius * 1.732, jnp.float32),
             )
+            ref_gt_dev = None
+            b_idx = np.nonzero(fb)[0]
+            if len(b_idx):
+                cap_b = bucket_size(len(b_idx), base=32)
+                boxes_p, bvalid = pad_rows(seq_boxes.attr[fb].astype(np.float32), cap_b)
+                # box assignment argmax on device: D2H one [N] id vector
+                # instead of the [B, N] membership matrix (the tunnel makes
+                # per-frame multi-MB transfers the dominant cost here)
+                ref_gt_dev = _box_assign(
+                    jnp.asarray(qx), jnp.asarray(boxes_p), jnp.asarray(bvalid)
+                )
+            self._tick("ex_dispatch", _tp)
+            pending.append(
+                (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev)
+            )
+
+        # pass 2 — drain device results and run the host-side filtering,
+        # accumulation and box IoU accounting
+        for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev in pending:
+            n_ref = len(ref_xyz)
+            _tp = __import__("time").time()
             comp_local_np = np.asarray(comp_j)[:n_ref]
             zsel = np.asarray(zsel)[:n_ref]
             comp_np = np.where(
@@ -869,20 +894,9 @@ class ClusterTracking:
             full.moving.append(mov_by_comp[comp_sel])
 
             # ----- box IoU update (382-414), vectorized over components -----
-            if fb.any() and len(sel):
-                fboxes = seq_boxes.attr[fb]
-                b_idx = np.nonzero(fb)[0]
+            if ref_gt_dev is not None and len(sel):
                 Bf = len(b_idx)
-                cap_b = bucket_size(Bf, base=32)
-                boxes_p, bvalid = pad_rows(fboxes.astype(np.float32), cap_b)
-                cap_p = bucket_size(n_ref)
-                pts_p, pvalid = pad_rows(ref_xyz.astype(np.float32), cap_p, fill=1e8)
-                # box assignment argmax on device: D2H one [N] int vector
-                # instead of the [B, N] membership matrix (the tunnel makes
-                # per-frame multi-MB transfers the dominant cost here)
-                ref_gt = np.asarray(_box_assign(
-                    jnp.asarray(pts_p), jnp.asarray(boxes_p), jnp.asarray(bvalid)
-                ))[:n_ref]
+                ref_gt = np.asarray(ref_gt_dev)[:n_ref]
                 gt_sel = ref_gt[sel]
                 pair_ok = gt_sel >= 0
                 inter = np.bincount(
