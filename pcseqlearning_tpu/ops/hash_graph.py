@@ -13,7 +13,7 @@ TPU-native design (no atomics, no data-dependent probing):
   2. For each query and each of the 9 neighboring xy columns (cells are 2D
      over (frame, x, y): lidar data is z-thin, so 9 column probes replace
      27 3D-cell probes and z folds into the exact distance test),
-     binary-search (searchsorted) the sorted hash array and scan up to
+     look up the bucket's run bounds in a dense offset table and scan up to
      ``cell_cap`` candidates via one packed row-gather.
   3. Rank all probes' candidates with one top-k per query chunk.
 
@@ -58,16 +58,23 @@ _INVALID_HASH = jnp.uint32(0xFFFFFFFF)
 
 
 class HashGrid(NamedTuple):
-    """Sorted spatial-hash table over reference points.
+    """Bucket-sorted spatial-hash table over reference points.
 
     Point data is stored in SORTED order (sorted_fxyz/sorted_valid): a
     query's candidates for one probe are then a CONTIGUOUS run of rows, so
     the candidate read lowers to a vmapped dynamic-slice (one sequential
     ~768B window per query) instead of cap random row-gathers through the
     sorted_idx indirection — the difference between ~0.5 GB/s and
-    HBM-streaming rates on TPU."""
+    HBM-streaming rates on TPU.
 
-    sorted_hash: jnp.ndarray  # [N] uint32, ascending
+    Run bounds come from a DENSE offset table over hash buckets
+    (hash & (T-1), T ~ 2N): two offset gathers per probe instead of two
+    binary searches over the sorted key array (a log2(N)-deep gather chain
+    per probe was ~40% of the whole radius scan). Distinct cells that share
+    a bucket simply share a run — the exact distance + frame filters reject
+    the strangers, at a tiny shared cell_cap cost."""
+
+    sorted_bucket: jnp.ndarray  # [N] int32 bucket ids, ascending (T = invalid)
     sorted_idx: jnp.ndarray  # [N] int32, original row of each slot
     ref_fxyz: jnp.ndarray  # [N, 4] original (frame, x, y, z)
     ref_valid: jnp.ndarray  # [N] bool
@@ -75,6 +82,7 @@ class HashGrid(NamedTuple):
     cell: jnp.ndarray  # [] spatial cell edge length
     sorted_fxyz: jnp.ndarray  # [N, 4] ref_fxyz in slot order
     sorted_valid: jnp.ndarray  # [N] ref_valid in slot order
+    offsets: jnp.ndarray  # [T + 2] int32 bucket run starts (cumulative)
 
 
 def _cells_of(fxyz, origin, cell):
@@ -87,6 +95,15 @@ def _cells_of(fxyz, origin, cell):
     cxy = jnp.floor((fxyz[:, 1:3] - origin[:2]) / cell).astype(jnp.int32)
     zeros = jnp.zeros_like(f)
     return jnp.concatenate([f[:, None], cxy, zeros[:, None]], axis=1)
+
+
+def _table_size(n):
+    """Static bucket-table size for an N-row grid: next pow2 of 2N,
+    clamped to [2^12, 2^22]."""
+    t = 4096
+    while t < 2 * n and t < (1 << 22):
+        t <<= 1
+    return t
 
 
 def build_hash_grid(ref_fxyz, cell_size, ref_valid=None):
@@ -107,13 +124,19 @@ def build_hash_grid(ref_fxyz, cell_size, ref_valid=None):
     masked = jnp.where(ref_valid[:, None], ref_fxyz[:, 1:4], big)
     origin = jnp.min(masked, axis=0)
     cells = _cells_of(ref_fxyz, origin, cell)
-    h = jnp.where(ref_valid, _hash_cells(cells), _INVALID_HASH)
+    T = _table_size(n)
+    bucket = (_hash_cells(cells) & jnp.uint32(T - 1)).astype(jnp.int32)
+    bucket = jnp.where(ref_valid, bucket, T)  # invalid rows sort last
     idx = jnp.arange(n, dtype=jnp.int32)
-    sorted_hash, sorted_idx = jax.lax.sort((h, idx), num_keys=1)
+    sorted_bucket, sorted_idx = jax.lax.sort((bucket, idx), num_keys=1)
     sorted_fxyz = ref_fxyz[sorted_idx]
     sorted_valid = ref_valid[sorted_idx]
-    return HashGrid(sorted_hash, sorted_idx, ref_fxyz, ref_valid, origin, cell,
-                    sorted_fxyz, sorted_valid)
+    counts = jnp.zeros(T + 1, jnp.int32).at[bucket].add(1)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )  # [T + 2]
+    return HashGrid(sorted_bucket, sorted_idx, ref_fxyz, ref_valid, origin, cell,
+                    sorted_fxyz, sorted_valid, offsets)
 
 
 # the 9 xy-column offsets, frame offset always 0 (exact frame match)
@@ -143,7 +166,8 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
         mask    [M, K] bool
     """
     m = query_fxyz.shape[0]
-    n = grid.sorted_hash.shape[0]
+    n = grid.sorted_bucket.shape[0]
+    T = grid.offsets.shape[0] - 2
     if query_valid is None:
         query_valid = jnp.ones(m, dtype=bool)
     radius = jnp.asarray(radius, dtype=query_fxyz.dtype)
@@ -169,22 +193,25 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
         """One query chunk -> (best_d [Mc, k], best_i [Mc, k])."""
         mc = q_chunk.shape[0]
         qcells = _cells_of(q_chunk, grid.origin, grid.cell)
-        # probe hashes for the 9 offsets; keep only the FIRST occurrence of
-        # each hash per query: colliding offsets would otherwise scan the
+        # probe buckets for the 9 offsets; keep only the FIRST occurrence of
+        # each bucket per query: colliding offsets would otherwise scan the
         # same run twice and duplicates would evict real neighbors from the
         # top-K (the reference kernel compares exact keys,
         # torch_hash_kernel.cu:362, so it never duplicates)
-        h_all = jax.vmap(lambda off: _hash_cells(qcells + off[None, :]))(_OFFSETS)
+        b_all = jax.vmap(
+            lambda off: (_hash_cells(qcells + off[None, :])
+                         & jnp.uint32(T - 1)).astype(jnp.int32)
+        )(_OFFSETS)
         dup = jnp.zeros((n_off, mc), dtype=bool)
         for o in range(1, n_off):
-            dup = dup.at[o].set(jnp.any(h_all[:o] == h_all[o][None, :], axis=0))
+            dup = dup.at[o].set(jnp.any(b_all[:o] == b_all[o][None, :], axis=0))
         first_occ = ~dup
 
-        h_flat = h_all.reshape(-1)
-        start = jnp.searchsorted(grid.sorted_hash, h_flat, side="left") \
-            .astype(jnp.int32).reshape(n_off, mc)
-        end = jnp.searchsorted(grid.sorted_hash, h_flat, side="right") \
-            .astype(jnp.int32).reshape(n_off, mc)
+        # run bounds: two offset-table gathers per probe (the previous
+        # searchsorted pair walked a log2(N)-deep gather chain per probe)
+        b_flat = b_all.reshape(-1)
+        start = grid.offsets[b_flat].reshape(n_off, mc)
+        end = grid.offsets[b_flat + 1].reshape(n_off, mc)
         slots = jnp.minimum(
             start[:, :, None] + jnp.arange(cell_cap, dtype=jnp.int32)[None, None, :],
             n_pad - 1,
@@ -193,8 +220,10 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
         in_run = slots < end[:, :, None]
         valid = in_run & (w[..., 4] > 0.5) & first_occ[..., None]
         diff = w[..., 0:4] - q_chunk[None, :, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
-        valid = valid & (d2 <= r2)
+        d2 = jnp.sum(diff[..., 1:4] * diff[..., 1:4], axis=-1)
+        # exact frame match: a shared bucket may hold cells of OTHER frames
+        # whose points are spatially within the radius
+        valid = valid & (d2 <= r2) & (jnp.abs(diff[..., 0]) < 0.5)
         d2 = jnp.where(valid, d2, big)
         slot_or_neg = jnp.where(valid, slots, -1)
         d2 = jnp.transpose(d2, (1, 0, 2)).reshape(mc, n_off * cell_cap)
