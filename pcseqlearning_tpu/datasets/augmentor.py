@@ -305,15 +305,19 @@ class SemanticSegSampler:
                 pointer=1 << 30, indices=np.zeros(0, np.int64),
             )
 
-    def _draw(self, cls_id, group):
+    def _draw(self, cls_id, group, sample_num):
+        """Round-robin draw: pointer/indices mutate the PERSISTENT group dict
+        so successive scenes walk the whole database before reshuffling
+        (reference database_sampler round-robin; ADVICE r2 — a copied dict
+        restarted the permutation every scene)."""
         pool = self.db["by_cls"].get(cls_id, [])
         if not pool:
             return []
         if group["pointer"] >= len(pool):
             group["indices"] = np.random.permutation(len(pool))
             group["pointer"] = 0
-        take = group["indices"][group["pointer"]: group["pointer"] + group["sample_num"]]
-        group["pointer"] += group["sample_num"]
+        take = group["indices"][group["pointer"]: group["pointer"] + sample_num]
+        group["pointer"] += sample_num
         return [self.db["infos"][pool[i]] for i in take]
 
     def __call__(self, data_dict):
@@ -333,8 +337,7 @@ class SemanticSegSampler:
                 want = max(group["scene_limit"] - have, 0)
             if want <= 0:
                 continue
-            group = dict(group, sample_num=want)
-            for info in self._draw(cls_id, group):
+            for info in self._draw(cls_id, group, want):
                 sup = int(info.get("support_cls", support_ids[0]))
                 cand = support_pts.get(sup)
                 if cand is None or len(cand) == 0:

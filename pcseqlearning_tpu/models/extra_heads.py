@@ -241,6 +241,10 @@ EXTRA_HEADS = {
     "EmbedSegHead": EmbedSegHead,
     "PrimitiveHead": PrimitiveHead,
 }
+# HybridSegHead / ImplicitReconstructionHead /
+# PointSequenceReconstructionHead register themselves at the end of this
+# module (they are defined below; ADVICE r2 — they were unreachable from
+# the config path).
 
 
 class HybridSegHead(nn.Module):
@@ -384,3 +388,10 @@ class PointSequenceReconstructionHead(nn.Module):
         w = valid.astype(pred.dtype)
         per = jnp.mean(fwd, axis=1) + jnp.sum(bwd, axis=1) / jnp.maximum(jnp.sum(gt_ok, 1), 1)
         return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+EXTRA_HEADS.update({
+    "HybridSegHead": HybridSegHead,
+    "ImplicitReconstructionHead": ImplicitReconstructionHead,
+    "PointSequenceReconstructionHead": PointSequenceReconstructionHead,
+})

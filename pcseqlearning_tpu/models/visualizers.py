@@ -234,7 +234,9 @@ class PolyScopeVisualizer(GeometryVisualizer):
         for name, q in seg.get("colors", {}).items():
             v = _np(q["values"])
             if v.ndim == 1:
-                v = np.broadcast_to(v, (len(_np(seg.get("xyz", seg.get("nodes"))))), )
+                # a shared RGB vector broadcasts to per-node (N, 3), not (N,)
+                n_nodes = len(_np(seg.get("xyz", seg.get("nodes"))))
+                v = np.broadcast_to(v, (n_nodes, 3))
             h.add_color_quantity(name, v)
         for name, q in seg.get("vectors", {}).items():
             h.add_vector_quantity(name, _np(q["values"]))

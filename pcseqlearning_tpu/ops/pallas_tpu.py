@@ -124,7 +124,14 @@ def pair_min(a, b, a_mask, b_mask):
     """
     C, P, _ = a.shape
     Q = b.shape[1]
-    tiles_ok = P % 128 == 0 and Q % 128 == 0
+    # VMEM slot budget: the kernel materializes ~3 [P, Q] f32 temporaries
+    # (d2 + its two masked variants) per grid step; cap the block at ~4 MB
+    # so e.g. ImplicitReconstructionHead's P = n*S, Q = n at n = 16k
+    # (which passes the 128-divisibility gate) falls back to XLA instead of
+    # asking Mosaic for a ~29 GB block (ADVICE r2, medium).
+    tiles_ok = (
+        P % 128 == 0 and Q % 128 == 0 and P * Q * 4 <= 4 * 1024 * 1024
+    )
     if not (_use_pallas() and tiles_ok):
         return _xla_pair_min(a, b, a_mask, b_mask)
     at = jnp.concatenate(

@@ -29,15 +29,30 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 
-def shard_points_by_x(fxyz, num_shards):
+def shard_points_by_x(fxyz, num_shards, radius=None):
     """Host prep: x-sort and split into equal-count slabs.
 
     Returns (points [D, N_loc, 4], gids [D, N_loc], valid [D, N_loc],
-    unsort [N] — original row of each (d, i) slot flattened)."""
+    unsort [N] — original row of each (d, i) slot flattened).
+
+    When ``radius`` is given, asserts every slab is wider than it: halos
+    come only from immediate ring neighbors, so a slab thinner than the
+    query radius would silently drop true neighbors two slabs away
+    (ADVICE r2)."""
     n = len(fxyz)
     order = np.argsort(fxyz[:, 1], kind="stable").astype(np.int64)
     n_loc = -(-n // num_shards)
     pad = num_shards * n_loc - n
+    if radius is not None and num_shards > 1 and n >= num_shards:
+        xs = fxyz[order, 1]
+        bounds = xs[[min(d * n_loc, n - 1) for d in range(num_shards)] + [n - 1]]
+        widths = np.diff(bounds)
+        if (widths <= radius).any():
+            raise ValueError(
+                f"x-slab widths {widths.tolist()} must all exceed the query "
+                f"radius {radius}: dense regions make immediate-neighbor halo "
+                "exchange incomplete — use fewer shards or width-based slabs"
+            )
     fxyz_s = np.concatenate([fxyz[order], np.full((pad, fxyz.shape[1]), 1e8, fxyz.dtype)])
     gids = np.concatenate([order, np.full(pad, -1, np.int64)])
     valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
@@ -70,6 +85,16 @@ def sharded_radius_neighbors(points, gids, valid, radius, mesh, axis="dp",
     from ..ops import hash_graph
 
     D = mesh.shape[axis]
+    if D == 1:
+        # single-device mesh: the ring would return a device's own strips,
+        # duplicating points into its grid (ADVICE r2) — plain local query
+        idx, d2, mask = hash_graph.radius_graph(
+            points[0], points[0], radius, k,
+            ref_valid=valid[0], query_valid=valid[0], cell_cap=cell_cap,
+        )
+        n_loc = points.shape[1]
+        out_gids = jnp.where(mask, gids[0][jnp.clip(idx, 0, n_loc - 1)], -1)
+        return out_gids[None], d2[None], mask[None]
     radius = jnp.asarray(radius, points.dtype)
 
     def local(pts, ids, val):
