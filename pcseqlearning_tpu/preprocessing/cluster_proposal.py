@@ -21,6 +21,7 @@ import numpy as np
 from ..ops import boxes as box_ops
 from ..ops import connected_components as cc
 from ..ops import hash_graph
+from ..ops import pallas_scan
 from ..utils.edict import EDict
 from ..utils.padding import bucket_size, pad_rows
 
@@ -35,6 +36,21 @@ def _chunk_components(fxyz, valid, radius, k, cell_cap=48):
     labels = cc.connected_components_knn(idx, mask)
     comp, num = cc.compact_labels(labels, node_valid=valid)
     return comp, num
+
+
+@functools.partial(jax.jit, static_argnames=("k", "F", "X", "Y", "W", "Bq"))
+def _chunk_components_pallas(fxyz, valid, radius, k, F, X, Y, W, Bq):
+    """Radius graph (Pallas sorted-grid scan) + CC over one padded chunk.
+
+    Same output contract as _chunk_components; the third return is the
+    truncated-window count (no silent caps — the caller logs it)."""
+    idx, _, mask, ntrunc = pallas_scan.radius_neighbors_sorted(
+        fxyz, fxyz, radius, k, F=F, X=X, Y=Y,
+        ref_valid=valid, query_valid=valid, W=W, Bq=Bq,
+    )
+    labels = cc.connected_components_knn(idx, mask)
+    comp, num = cc.compact_labels(labels, node_valid=valid)
+    return comp, num, ntrunc
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap",))
@@ -127,6 +143,8 @@ class ClusterProposal:
         # dispatch every (radius, chunk) program before reading any result
         # back: jax dispatch is async, so the device crunches chunk i+1
         # while the host pads chunk i+2 and drains chunk i
+        use_pallas = pallas_scan.use_pallas_scan()
+        scan_w = int(self.model_cfg.get("SCAN_WINDOW", 1536))
         pending = []
         for comp_key, radius in zip(self.component_keys, self.radii):
             for f0 in range(0, num_frames, self.chunk_frames):
@@ -136,17 +154,32 @@ class ClusterProposal:
                 pts = fxyz[m]
                 cap = bucket_size(pts.shape[0])
                 padded, valid = pad_rows(pts.astype(np.float32), cap, fill=1e8)
-                comp, num = _chunk_components(
-                    jnp.asarray(padded), jnp.asarray(valid), radius,
-                    self.cc_neighbors, cell_cap=self.cc_cell_cap,
-                )
-                pending.append((comp_key, m, pts.shape[0], comp, num))
+                if use_pallas:
+                    span = float((pts[:, 1:3].max(0) - pts[:, 1:3].min(0)).max())
+                    cells = int(np.ceil(span / radius)) + 3
+                    XY = 1 << max(cells - 1, 1).bit_length()  # pow2 bucket
+                    comp, num, ntrunc = _chunk_components_pallas(
+                        jnp.asarray(padded), jnp.asarray(valid), radius,
+                        self.cc_neighbors, F=self.chunk_frames, X=XY, Y=XY,
+                        W=scan_w, Bq=256,
+                    )
+                else:
+                    ntrunc = None
+                    comp, num = _chunk_components(
+                        jnp.asarray(padded), jnp.asarray(valid), radius,
+                        self.cc_neighbors, cell_cap=self.cc_cell_cap,
+                    )
+                pending.append((comp_key, m, pts.shape[0], comp, num, ntrunc))
 
         components = {k: np.zeros(n, dtype=np.int64) for k in self.component_keys}
         totals = {k: 0 for k in self.component_keys}
-        for comp_key, m, n_pts, comp, num in pending:
+        for comp_key, m, n_pts, comp, num, ntrunc in pending:
             components[comp_key][m] = np.asarray(comp)[:n_pts] + totals[comp_key]
             totals[comp_key] += int(num)
+            if ntrunc is not None and int(ntrunc) > 0:
+                print(f"Cluster Proposal {comp_key}: WARNING "
+                      f"{int(ntrunc)} scan windows truncated at "
+                      f"SCAN_WINDOW={self.model_cfg.get('SCAN_WINDOW', 1536)}")
         for comp_key in self.component_keys:
             seq_dict[f"point_{comp_key}"] = components[comp_key]
             print(f"Cluster Proposal {comp_key}: num_components={totals[comp_key]}")

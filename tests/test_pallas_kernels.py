@@ -63,3 +63,38 @@ def test_pair_min_pallas_interpret_matches_oracle():
     binf = np.isfinite(obd)
     assert np.allclose(bd[binf], obd[binf], atol=1e-4)
     assert (fi == ofi)[fin].mean() > 0.99  # ties aside
+
+
+def test_radius_scan_sorted_oracle(rng):
+    """Pallas sorted-grid radius scan vs brute force (interpret mode).
+
+    Small shapes keep the interpret-mode compile affordable; the TPU path
+    is exercised by the bench and by scan_tpu-style drives."""
+    from pcseqlearning_tpu.ops.pallas_scan import radius_neighbors_sorted
+
+    n = 300
+    fxyz = np.concatenate([
+        rng.randint(0, 2, (n, 1)).astype(np.float32),
+        rng.rand(n, 2).astype(np.float32) * 8 - 4,
+        rng.randn(n, 1).astype(np.float32),
+    ], axis=1)
+    valid = rng.rand(n) > 0.15
+    r, k = 1.0, 4
+    idx, d2, mask, ntrunc = radius_neighbors_sorted(
+        jnp.asarray(fxyz), jnp.asarray(fxyz), r, k, F=2, X=16, Y=16,
+        ref_valid=jnp.asarray(valid), query_valid=jnp.asarray(valid),
+        W=256, Bq=128, interpret=True,
+    )
+    idx, d2, mask = map(np.asarray, (idx, d2, mask))
+    assert int(ntrunc) == 0
+    for q in range(0, n, 7):
+        if not valid[q]:
+            assert not mask[q].any()
+            continue
+        diff = fxyz[:, 1:4] - fxyz[q, 1:4]
+        dd = (diff ** 2).sum(1)
+        cand = np.where(valid & (fxyz[:, 0] == fxyz[q, 0]) & (dd <= r * r + 1e-9))[0]
+        want = np.sort(dd[cand])[:k]
+        got = np.sort(d2[q][mask[q]])
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, atol=1e-5)
