@@ -342,3 +342,217 @@ def _scan_kernel(wstart_ref, r2_ref, table_ref, q_ref, bounds_ref,
 
     bd_ref[0] = best_d
     bp_ref[0] = best_p
+
+
+# ---------------------------------------------------------------------------
+# Fused connected components over the radius graph.
+#
+# Replaces the scan->kNN-table->label-propagation pipeline for the proposal
+# stage: each round, every point takes the min label over ALL in-radius
+# same-frame points (EXACT radius-graph CC, no k-cap — closer to the
+# reference's scipy CC over the full radius graph than the kNN
+# approximation), implemented as the same three window DMAs plus one dense
+# min pass — ~1/10 the cost of a top-k scan round. Labels are node SLOT
+# positions carried as f32 (exact integers below 2^24; slots are bounded by
+# the chunk size, ~2M at reference scale), with XLA pointer jumping between
+# rounds.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("F", "X", "Y", "W", "Bq", "max_rounds", "interpret"),
+)
+def connected_components_radius(
+    fxyz, valid, radius, F, X, Y, W=1536, Bq=256, max_rounds=24,
+    interpret=False,
+):
+    """Exact connected components of the same-frame radius graph.
+
+    Returns (component [N] int32 dense ids in ORIGINAL row order, -1 for
+    invalid rows; num_components traced int32; num_truncated traced int32).
+    """
+    n = fxyz.shape[0]
+    assert n < (1 << 24), "f32 label positions must stay exact"
+    if valid is None:
+        valid = jnp.ones(n, dtype=bool)
+    f32 = fxyz.dtype
+    radius = jnp.asarray(radius, f32)
+    inv_cell = 1.0 / radius
+    r2 = (radius * radius).astype(jnp.float32)
+
+    big = jnp.asarray(3e38, f32)
+    masked = jnp.where(valid[:, None], fxyz[:, 1:3], big)
+    origin = jnp.min(masked, axis=0)
+    f_masked = jnp.where(valid, jnp.round(fxyz[:, 0]).astype(jnp.int32), _BIGI)
+    f_min = jnp.min(f_masked)
+
+    rf, rcx, rcy = _cell_ids(fxyz, origin, inv_cell, f_min, F, X, Y)
+    in_grid = (
+        valid & (rf >= 0) & (rf < F)
+        & (rcx >= 0) & (rcx < X) & (rcy >= 0) & (rcy < Y)
+    )
+    L = F * X * Y
+    rlin = jnp.where(in_grid, _lin(rf, rcx, rcy, X, Y), L)
+    ridx = jnp.arange(n, dtype=jnp.int32)
+    _, sorted_idx = jax.lax.sort((rlin, ridx), num_keys=1)
+    sorted_xyz = fxyz[sorted_idx, 1:4]
+    W_k = W + 128
+    n_pad = max(-(-n // 128) * 128, W_k)
+    table = jnp.full((8, n_pad), 3e38, jnp.float32)
+    table = table.at[0:3, :n].set(sorted_xyz.astype(jnp.float32).T)
+    counts = jnp.zeros(L + 1, jnp.int32).at[rlin].add(1)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+
+    # slots ARE the sorted nodes; blocks are consecutive slot ranges
+    nb = -(-n // Bq)
+    m_pad = nb * Bq
+    sl_f = jnp.zeros(m_pad, jnp.int32).at[:n].set(rf[sorted_idx])
+    sl_cx = jnp.zeros(m_pad, jnp.int32).at[:n].set(rcx[sorted_idx])
+    sl_cy = jnp.zeros(m_pad, jnp.int32).at[:n].set(rcy[sorted_idx])
+    sl_in = jnp.zeros(m_pad, bool).at[:n].set(in_grid[sorted_idx])
+    sl_xyz = jnp.zeros((m_pad, 3), jnp.float32).at[:n].set(
+        sorted_xyz.astype(jnp.float32))
+
+    dxs = jnp.asarray([-1, 0, 1], jnp.int32)
+    cxd = sl_cx[None, :] + dxs[:, None]
+    probe_ok = sl_in[None, :] & (cxd >= 0) & (cxd < X)
+    lo_cy = jnp.clip(sl_cy[None, :] - 1, 0, Y - 1)
+    hi_cy = jnp.clip(sl_cy[None, :] + 1, 0, Y - 1)
+    cxd_c = jnp.clip(cxd, 0, X - 1)
+    f_c = jnp.clip(sl_f[None, :], 0, F - 1)
+    q_start = jnp.where(probe_ok, offsets[_lin(f_c, cxd_c, lo_cy, X, Y)], 0)
+    q_end = jnp.where(probe_ok, offsets[_lin(f_c, cxd_c, hi_cy, X, Y) + 1], 0)
+
+    bs = q_start.reshape(3, nb, Bq)
+    be = q_end.reshape(3, nb, Bq)
+    empty = be <= bs
+    win_lo = jnp.min(jnp.where(empty, _BIGI, bs), axis=2)
+    win_hi = jnp.max(jnp.where(empty, 0, be), axis=2)
+    has_any = jnp.any(~empty, axis=2)
+    win_lo = jnp.where(has_any, win_lo, 0)
+    win_hi = jnp.where(has_any, win_hi, 0)
+    num_truncated = jnp.sum((win_hi - win_lo > W).astype(jnp.int32))
+    win_lo = (win_lo // 128) * 128
+    win_lo = jnp.minimum(win_lo, jnp.maximum(n_pad - W_k, 0))
+    win_start = jnp.transpose(win_lo).reshape(-1)
+
+    qB = jnp.zeros((nb, Bq, 8), jnp.float32)
+    qB = qB.at[:, :, 0:3].set(sl_xyz.reshape(nb, Bq, 3))
+    bounds = jnp.transpose(jnp.concatenate([bs, be], axis=0), (1, 2, 0))
+    bpad = jnp.zeros((nb, Bq, 8), jnp.int32).at[:, :, 0:6].set(bounds)
+
+    l0 = jnp.arange(m_pad, dtype=jnp.int32)
+
+    def round_body(carry):
+        l, _, it = carry
+        ltab = jnp.zeros((8, n_pad), jnp.float32).at[0, :m_pad].set(
+            l.astype(jnp.float32))
+        out = _cc_kernel_call(
+            win_start, r2, table, ltab, qB, bpad,
+            nb=nb, Bq=Bq, W=W_k, interpret=interpret,
+        )  # [nb, Bq, 8] f32
+        l_new = jnp.minimum(l, out[:, :, 0].reshape(m_pad).astype(jnp.int32))
+        # pointer jumping (labels are slot positions)
+        l_new = l_new[l_new]
+        l_new = l_new[l_new]
+        return l_new, jnp.any(l_new != l), it + 1
+
+    def round_cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_rounds)
+
+    labels, _, _ = jax.lax.while_loop(
+        round_cond, round_body, (l0, jnp.bool_(True), 0))
+
+    # compact in slot space, then scatter to original row order
+    node_ok = jnp.zeros(m_pad, bool).at[:n].set(valid[sorted_idx])
+    is_root = (labels == jnp.arange(m_pad, dtype=jnp.int32)) & node_ok
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    comp_slot = jnp.where(node_ok, rank[labels], -1)
+    component = jnp.zeros(n, jnp.int32).at[sorted_idx].set(comp_slot[:n])
+    num_components = jnp.sum(is_root.astype(jnp.int32))
+    return component, num_components, num_truncated
+
+
+def _cc_kernel_call(win_start, r2, table, ltab, qB, bounds, *, nb, Bq, W,
+                    interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_cc_kernel, Bq=Bq, W=W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # coord table, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # label table, HBM
+            pl.BlockSpec((1, Bq, 8), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bq, 8), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Bq, 8), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, 8, W), jnp.float32),
+            pltpu.VMEM((3, 8, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, Bq, 8), jnp.float32),
+        interpret=interpret,
+    )(win_start, r2.reshape(1), table, ltab, qB, bounds)
+
+
+def _cc_kernel(wstart_ref, r2_ref, table_ref, ltab_ref, q_ref, bounds_ref,
+               out_ref, win_scratch, lbl_scratch, dma_sems, *, Bq, W):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    r2 = r2_ref[0]
+
+    copies = []
+    for dx in range(3):
+        ws = pl.multiple_of(wstart_ref[b * 3 + dx], 128)
+        c1 = pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(ws, W)], win_scratch.at[dx],
+            dma_sems.at[dx])
+        c2 = pltpu.make_async_copy(
+            ltab_ref.at[:, pl.ds(ws, W)], lbl_scratch.at[dx],
+            dma_sems.at[3 + dx])
+        c1.start()
+        c2.start()
+        copies.append((c1, c2))
+
+    q = q_ref[0]
+    qx = q[:, 0:1]
+    qy = q[:, 1:2]
+    qz = q[:, 2:3]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Bq, W), 1)
+
+    minv = jnp.full((Bq, 1), _BIG, jnp.float32)
+    for dx in range(3):
+        copies[dx][0].wait()
+        copies[dx][1].wait()
+        win = win_scratch[dx]
+        lw = lbl_scratch[dx][0:1, :]  # [1, W]
+        ws = wstart_ref[b * 3 + dx]
+        ddx = qx - win[0:1, :]
+        ddy = qy - win[1:2, :]
+        ddz = qz - win[2:3, :]
+        d2 = ddx * ddx + ddy * ddy + ddz * ddz
+        pos = ws + lane_iota
+        q_lo = bounds_ref[0, :, dx: dx + 1]
+        q_hi = bounds_ref[0, :, 3 + dx: 4 + dx]
+        okm = (pos >= q_lo) & (pos < q_hi) & (d2 <= r2)
+        cand = jnp.where(okm, jnp.broadcast_to(lw, (Bq, W)), _BIG)
+        minv = jnp.minimum(minv, jnp.min(cand, axis=1, keepdims=True))
+
+    out_ref[0] = jnp.broadcast_to(minv, (Bq, 8))

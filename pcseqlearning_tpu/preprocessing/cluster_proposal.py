@@ -40,17 +40,16 @@ def _chunk_components(fxyz, valid, radius, k, cell_cap=48):
 
 @functools.partial(jax.jit, static_argnames=("k", "F", "X", "Y", "W", "Bq"))
 def _chunk_components_pallas(fxyz, valid, radius, k, F, X, Y, W, Bq):
-    """Radius graph (Pallas sorted-grid scan) + CC over one padded chunk.
+    """EXACT radius-graph CC over one padded chunk via the fused Pallas
+    label-propagation kernel (no k-cap — closer to the reference's scipy
+    CC over the full radius graph than the kNN approximation; ``k`` is
+    unused and kept for signature compatibility).
 
     Same output contract as _chunk_components; the third return is the
     truncated-window count (no silent caps — the caller logs it)."""
-    idx, _, mask, ntrunc = pallas_scan.radius_neighbors_sorted(
-        fxyz, fxyz, radius, k, F=F, X=X, Y=Y,
-        ref_valid=valid, query_valid=valid, W=W, Bq=Bq,
+    return pallas_scan.connected_components_radius(
+        fxyz, valid, radius, F=F, X=X, Y=Y, W=W, Bq=Bq,
     )
-    labels = cc.connected_components_knn(idx, mask)
-    comp, num = cc.compact_labels(labels, node_valid=valid)
-    return comp, num, ntrunc
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap",))

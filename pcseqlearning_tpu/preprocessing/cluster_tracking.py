@@ -131,6 +131,35 @@ def _box_assign(pts, boxes, bvalid):
     return jnp.where(jnp.any(bp, axis=0), jnp.argmax(bp, axis=0), -1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("F", "X", "Y", "W", "Bq"))
+def _window_claim_pallas(refs, rvalid, ref_comp, q, qv, radius, F, X, Y,
+                         W=2048, Bq=256):
+    """One sorted-grid scan claims EVERY frame of a tracked window: refs
+    are the window's raw extracted points [E, 4] (frame, x, y, z) and
+    queries the full-res frame points with their frame id — the kernel's
+    per-frame cell key makes the per-frame NN exact, with no per-component
+    tiles and no Pe subsample (reference NN extraction,
+    cluster_tracking.py:342-360).
+
+    Returns (component per query [-1 none], z of matched extracted point,
+    num_truncated)."""
+    from ..ops import pallas_scan
+
+    idx, _, mask, ntrunc = pallas_scan.radius_neighbors_sorted(
+        refs, q, radius, 1, F=F, X=X, Y=Y,
+        ref_valid=rvalid, query_valid=qv, W=W, Bq=Bq,
+    )
+    i0 = jnp.clip(idx[:, 0], 0, refs.shape[0] - 1)
+    ok = mask[:, 0]
+    comp = jnp.where(ok, ref_comp[i0], -1).astype(jnp.int32)
+    z = jnp.where(ok, refs[i0, 3], 0.0)
+    return comp, z, ntrunc
+
+
+# all window frames' box assignment in one dispatch
+_box_assign_batch = jax.jit(jax.vmap(lambda p, b, v: _box_assign(p, b, v)))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _claim_points_kernel(query_xyz, query_valid, tile_xyz, tile_mask, radius):
     """Assign each query point to the component of its nearest tile point
@@ -797,57 +826,112 @@ class ClusterTracking:
         Pe_cap = int(self.model_cfg.get("TRACE_TILE_POINTS", 1024))
         Pe = int(bucket_size(int(min(max(pair_cnt.max(), 32), Pe_cap)), base=32))
 
-        # pass 1 — host prep + async device dispatch for every frame; the
-        # device runs frame i's claim/box programs while the host packs
-        # frame i+1's tiles, and nothing synchronizes until pass 2 reads
+        # pass 1 — host prep + device dispatch; nothing synchronizes until
+        # pass 2 reads
         from .tracking_batched import pack_components
+        from ..ops import pallas_scan
 
-        pending = []
+        claim_r = self.nn_radius * 1.732
+        frames_info = []
+        max_ref = max_box = 1
         for fid in np.unique(ex_frames):
             fb = seq_boxes.frame == fid
             rm = all_points.frame == fid
             ref_xyz = all_points.xyz[rm]
-            n_ref = len(ref_xyz)
-            if n_ref == 0:
+            if len(ref_xyz) == 0:
                 continue
             em = ex_frames == fid
-            ex_xyz = extracted.fxyz[em][:, 1:4]
-            ex_comp = extracted.component[em]
-            ex_mov = extracted.moving[em]
-            if len(ex_xyz) == 0:
+            if not em.any():
                 continue
-
-            _tp = __import__("time").time()
-            # claim full-res points via per-component extracted tiles
-            # (radius*sqrt(3), reference 342-360): one [C, N] matmul + a
-            # 2-nearest-center tile test — measured faster end-to-end than
-            # a per-frame hash NN (17 grid builds/queries per tracked frame)
-            ex_comp_local = comp_to_local[ex_comp]
-            tile, tmask = pack_components(
-                ex_xyz.astype(np.float32), ex_comp_local, np.ones(len(ex_xyz), bool), C, Pe,
-            )
-            _tp = self._tick("ex_pack", _tp)
-            cap_q = bucket_size(n_ref)
-            qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
-            comp_j, zsel = _claim_points_kernel(
-                jnp.asarray(qx), jnp.asarray(qv), jnp.asarray(tile),
-                jnp.asarray(tmask), jnp.asarray(self.nn_radius * 1.732, jnp.float32),
-            )
-            ref_gt_dev = None
             b_idx = np.nonzero(fb)[0]
-            if len(b_idx):
-                cap_b = bucket_size(len(b_idx), base=32)
-                boxes_p, bvalid = pad_rows(seq_boxes.attr[fb].astype(np.float32), cap_b)
-                # box assignment argmax on device: D2H one [N] id vector
-                # instead of the [B, N] membership matrix (the tunnel makes
-                # per-frame multi-MB transfers the dominant cost here)
-                ref_gt_dev = _box_assign(
-                    jnp.asarray(qx), jnp.asarray(boxes_p), jnp.asarray(bvalid)
-                )
-            self._tick("ex_dispatch", _tp)
-            pending.append(
-                (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev)
+            frames_info.append((fid, rm, ref_xyz, extracted.fxyz[em][:, 1:4],
+                                extracted.component[em], extracted.moving[em],
+                                b_idx))
+            max_ref = max(max_ref, len(ref_xyz))
+            max_box = max(max_box, len(b_idx))
+
+        pending = []
+        if pallas_scan.use_pallas_scan() and frames_info:
+            # ---- batched window claim: ONE sorted-grid scan for every
+            # frame of the window (frame id rides the cell key), against
+            # the RAW extracted points (no per-component tiles, no Pe
+            # subsample — each full-res point matches its exact nearest
+            # extracted point within radius*sqrt(3), reference 342-360) +
+            # ONE vmapped box-assign. Replaces ~2 programs x 17 frames of
+            # dispatch latency per tracked window.
+            _tp = __import__("time").time()
+            Fw = len(frames_info)
+            n_cap = bucket_size(max_ref)
+            qx_all = np.full((Fw, n_cap, 4), 1e8, np.float32)
+            qv_all = np.zeros((Fw, n_cap), bool)
+            b_cap = bucket_size(max_box, base=32)
+            boxes_all = np.zeros((Fw, b_cap, 7), np.float32)
+            bval_all = np.zeros((Fw, b_cap), bool)
+            for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
+                nr = len(ref_xyz)
+                qx_all[i, :nr, 0] = fid
+                qx_all[i, :nr, 1:4] = ref_xyz
+                qv_all[i, :nr] = True
+                if len(b_idx):
+                    boxes_all[i, : len(b_idx)] = seq_boxes.attr[b_idx]
+                    bval_all[i, : len(b_idx)] = True
+            E = len(extracted.fxyz)
+            E_cap = bucket_size(E)
+            refs, rvalid = pad_rows(extracted.fxyz.astype(np.float32), E_cap, fill=1e8)
+            # pass 2 expects LOCAL (active_comps-relative) ids
+            ref_comp = np.full(E_cap, -1, np.int32)
+            ref_comp[:E] = comp_to_local[extracted.component]
+            span = float(
+                (extracted.fxyz[:, 1:3].max(0) - extracted.fxyz[:, 1:3].min(0)).max()
             )
+            XY = 1 << max(int(np.ceil(span / claim_r)) + 3, 2).bit_length()
+            _tp = self._tick("ex_pack", _tp)
+            comp_all, z_all, _ = _window_claim_pallas(
+                jnp.asarray(refs), jnp.asarray(rvalid), jnp.asarray(ref_comp),
+                jnp.asarray(qx_all.reshape(-1, 4)), jnp.asarray(qv_all.reshape(-1)),
+                jnp.asarray(claim_r, jnp.float32),
+                F=2 * self.track_interval + 1, X=XY, Y=XY,
+            )
+            comp_all = comp_all.reshape(Fw, n_cap)
+            z_all = z_all.reshape(Fw, n_cap)
+            gt_all = _box_assign_batch(
+                jnp.asarray(qx_all[..., 1:4]), jnp.asarray(boxes_all),
+                jnp.asarray(bval_all),
+            )
+            self._tick("ex_dispatch", _tp)
+            for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
+                pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
+                                comp_all[i], z_all[i],
+                                gt_all[i] if len(b_idx) else None))
+        else:
+            for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx in frames_info:
+                _tp = __import__("time").time()
+                # claim full-res points via per-component extracted tiles
+                # (radius*sqrt(3), reference 342-360): one [C, N] matmul +
+                # a 2-nearest-center tile test
+                ex_comp_local = comp_to_local[ex_comp]
+                tile, tmask = pack_components(
+                    ex_xyz.astype(np.float32), ex_comp_local,
+                    np.ones(len(ex_xyz), bool), C, Pe,
+                )
+                _tp = self._tick("ex_pack", _tp)
+                cap_q = bucket_size(len(ref_xyz))
+                qx, qv = pad_rows(ref_xyz.astype(np.float32), cap_q, fill=1e8)
+                comp_j, zsel = _claim_points_kernel(
+                    jnp.asarray(qx), jnp.asarray(qv), jnp.asarray(tile),
+                    jnp.asarray(tmask), jnp.asarray(claim_r, jnp.float32),
+                )
+                ref_gt_dev = None
+                if len(b_idx):
+                    cap_b = bucket_size(len(b_idx), base=32)
+                    boxes_p, bvalid = pad_rows(seq_boxes.attr[b_idx].astype(np.float32), cap_b)
+                    ref_gt_dev = _box_assign(
+                        jnp.asarray(qx), jnp.asarray(boxes_p), jnp.asarray(bvalid)
+                    )
+                self._tick("ex_dispatch", _tp)
+                pending.append(
+                    (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev)
+                )
 
         # pass 2 — drain device results and run the host-side filtering,
         # accumulation and box IoU accounting

@@ -98,3 +98,35 @@ def test_radius_scan_sorted_oracle(rng):
         got = np.sort(d2[q][mask[q]])
         assert len(got) == len(want)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_connected_components_radius_oracle(rng):
+    """Fused Pallas radius-CC vs scipy csgraph (interpret mode)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components as scipy_cc
+    from pcseqlearning_tpu.ops.pallas_scan import connected_components_radius
+
+    n = 400
+    fxyz = np.concatenate([
+        rng.randint(0, 2, (n, 1)).astype(np.float32),
+        rng.rand(n, 2).astype(np.float32) * 10 - 5,
+        rng.randn(n, 1).astype(np.float32) * 0.5,
+    ], axis=1)
+    valid = rng.rand(n) > 0.12
+    r = 0.9
+    comp, num, ntrunc = connected_components_radius(
+        jnp.asarray(fxyz), jnp.asarray(valid), r, F=2, X=16, Y=16,
+        W=256, Bq=128, interpret=True,
+    )
+    comp = np.asarray(comp)
+    assert int(ntrunc) == 0
+    d2 = ((fxyz[None, :, 1:4] - fxyz[:, None, 1:4]) ** 2).sum(-1)
+    adj = ((d2 <= r * r) & (fxyz[None, :, 0] == fxyz[:, None, 0])
+           & valid[None, :] & valid[:, None])
+    ncc, lab = scipy_cc(sp.csr_matrix(adj), directed=False)
+    lv, cv = lab[valid], comp[valid]
+    m1, m2 = {}, {}
+    for a, b in zip(lv, cv):
+        assert m1.setdefault(a, b) == b and m2.setdefault(b, a) == a
+    assert (comp[~valid] == -1).all()
+    assert len(set(lv)) == int(num)
