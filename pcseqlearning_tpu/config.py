@@ -68,13 +68,23 @@ def cfg_from_list(cfg_list, config):
         d[subkey] = value
 
 
-def merge_new_config(config, new_config):
+def merge_new_config(config, new_config, base_dir=None):
     """Recursively merge ``new_config`` into ``config``, resolving
-    ``_BASE_CONFIG_`` includes first (reference: pcdet/config.py:53-70)."""
+    ``_BASE_CONFIG_`` includes first (reference: pcdet/config.py:53-70).
+
+    The include path is tried as-is (CWD-relative, reference behavior),
+    then relative to the including file's directory, then relative to the
+    repo root — so configs load regardless of the caller's CWD."""
     if "_BASE_CONFIG_" in new_config:
-        with open(new_config["_BASE_CONFIG_"], "r") as f:
+        base = new_config["_BASE_CONFIG_"]
+        candidates = [base]
+        if base_dir is not None:
+            candidates.append(os.path.join(base_dir, base))
+        candidates.append(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), base))
+        path = next((p for p in candidates if os.path.exists(p)), base)
+        with open(path, "r") as f:
             yaml_config = yaml.safe_load(f)
-        config.update(EDict(yaml_config))
+        merge_new_config(config, EDict(yaml_config), base_dir=os.path.dirname(path))
 
     for key, val in new_config.items():
         if key == "_BASE_CONFIG_":
@@ -84,7 +94,7 @@ def merge_new_config(config, new_config):
             continue
         if key not in config:
             config[key] = EDict()
-        merge_new_config(config[key], val)
+        merge_new_config(config[key], val, base_dir=base_dir)
 
     return config
 
@@ -92,7 +102,8 @@ def merge_new_config(config, new_config):
 def cfg_from_yaml_file(cfg_file, config):
     with open(cfg_file, "r") as f:
         new_config = yaml.safe_load(f)
-    merge_new_config(config=config, new_config=new_config or {})
+    merge_new_config(config=config, new_config=new_config or {},
+                     base_dir=os.path.dirname(os.path.abspath(cfg_file)))
     return config
 
 

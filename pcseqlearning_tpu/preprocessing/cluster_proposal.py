@@ -170,6 +170,14 @@ class ClusterProposal:
                     )
                 pending.append((comp_key, m, pts.shape[0], comp, num, ntrunc))
 
+        # start every chunk's D2H before blocking on any (each blocking
+        # read through the tunneled TPU pays a full round-trip latency)
+        for _, _, _, comp, num, ntrunc in pending:
+            for v in (comp, num, ntrunc):
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
         components = {k: np.zeros(n, dtype=np.int64) for k in self.component_keys}
         totals = {k: 0 for k in self.component_keys}
         for comp_key, m, n_pts, comp, num, ntrunc in pending:

@@ -898,11 +898,21 @@ class ClusterTracking:
                 jnp.asarray(qx_all[..., 1:4]), jnp.asarray(boxes_all),
                 jnp.asarray(bval_all),
             )
+            # drain in THREE bulk transfers (per-frame slice reads through
+            # the tunnel each pay a full D2H round-trip: 51 reads -> 3)
+            for v in (comp_all, z_all, gt_all):
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
+            comp_np_all = np.asarray(comp_all)
+            z_np_all = np.asarray(z_all)
+            gt_np_all = np.asarray(gt_all)
             self._tick("ex_dispatch", _tp)
             for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
                 pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
-                                comp_all[i], z_all[i],
-                                gt_all[i] if len(b_idx) else None))
+                                comp_np_all[i], z_np_all[i],
+                                gt_np_all[i] if len(b_idx) else None))
         else:
             for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx in frames_info:
                 _tp = __import__("time").time()

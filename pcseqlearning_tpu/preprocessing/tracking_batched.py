@@ -42,6 +42,16 @@ from .tracking_device import _smooth_velos
 _HI = jax.lax.Precision.HIGHEST
 _BIG = 1e8
 
+# wall-time breakdown of the walk (cumulative; reset externally)
+PROF = {}
+
+
+def _tick(key, t0):
+    import time as _t
+
+    PROF[key] = PROF.get(key, 0.0) + (_t.time() - t0)
+    return _t.time()
+
 
 # ---------------------------------------------------------------------------
 # host-side packing
@@ -489,6 +499,14 @@ def track_window_batched(
             g["transforms"], g["comp_velos"], g["comp_centers"], g["comp_center_diffs"],
             g["reg_errors"], g["edge_ratios"], g["extract_comp"], g["reach_min"], g["reach_max"],
         )
+        # dispatch every step of the walk without ANY mid-walk host read:
+        # through the tunneled TPU a single blocking D2H costs ~30-100 ms of
+        # round-trip latency, so the old per-step all-stopped check (16
+        # blocking reads per tracked frame) cost more than the compute it
+        # could skip — a stopped component's step is a masked no-op inside
+        # the compiled program anyway. jax dispatch is async, so the whole
+        # direction enqueues back-to-back and the device pipeline stays full.
+        _t0 = __import__("time").time()
         for s in range(1, interval + 1):
             pos = anchor_pos + track_dir * s
             if pos < 0 or pos >= W or not frame_nonempty[pos]:
@@ -498,8 +516,7 @@ def track_window_batched(
                 interval=interval, levels=levels, max_icp_iter=max_icp_iter,
                 min_move_frame=min_move_frame, num_candidates=num_candidates,
             )
-            if bool(np.asarray(carry[2]).all()):  # all stopped: early exit
-                break
+        _tick("walk_dispatch", _t0)
         moving_final = carry[3]
         for i, k in enumerate(_GLOBAL_KEYS):
             g[k] = carry[6 + i]
@@ -508,7 +525,16 @@ def track_window_batched(
         (g["reach_max"] >= anchor_pos + min_move_frame)
         | (g["reach_min"] <= anchor_pos - min_move_frame)
     )
+    _t0 = __import__("time").time()
+    g["moving"] = moving_final
+    g["valid_final"] = valid_final
+    # ONE latency for the whole drain: start every D2H copy, then collect
+    # (per-array np.asarray would pay the tunnel round-trip 12x)
+    for v in g.values():
+        try:
+            v.copy_to_host_async()
+        except AttributeError:
+            pass
     out = {k: np.asarray(v) for k, v in g.items()}
-    out["moving"] = np.asarray(moving_final)
-    out["valid_final"] = np.asarray(valid_final)
+    _tick("walk_drain", _t0)
     return out

@@ -45,7 +45,7 @@ def build_scheduler(optim_cfg, total_iters_each_epoch, total_epochs):
     total_steps = max(total_iters_each_epoch * total_epochs, 1)
     lr = float(cfg.get("LR", 1e-3))
     name = cfg.get("SCHEDULER", None) or cfg.get("OPTIMIZER", "adam_onecycle")
-    if "onecycle" in str(name) or cfg.get("ONECYCLE", False):
+    if "onecycle" in str(name).lower() or cfg.get("ONECYCLE", False):
         return build_onecycle_schedule(
             lr, total_steps,
             pct_start=float(cfg.get("PCT_START", 0.4)),

@@ -13,6 +13,7 @@ MODEL_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/waymo_models/*.yaml
 REG_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/waymo_models/registration/*.yaml")))
 DATA_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/dataset_configs/**/*.yaml"), recursive=True))
 OPT_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/optimizers/*.yaml")))
+VIS_CFGS = sorted(glob.glob(os.path.join(ROOT, "tools/cfgs/visualizers/**/*.yaml"), recursive=True))
 
 
 def _load(path):
@@ -60,6 +61,12 @@ def test_detector_cfg_builds_and_runs(path):
         "batch_size": 2,
         "gt_boxes": jnp.asarray(gt),
     }
+    if c.MODEL.get("VFE", {}).get("NAME") == "ImageVFE":
+        # camera-path configs (CaDDN) consume images + pinhole calib
+        K = np.broadcast_to(np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]], np.float32), (2, 3, 3))
+        batch["images"] = jnp.asarray(rng.rand(2, 48, 64, 3).astype(np.float32))
+        batch["calib_K"] = jnp.asarray(K)
+        batch["calib_T"] = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4)))
     variables = model.init(jax.random.PRNGKey(0), batch, train=True)
     out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"])
     losses = out["losses"]
@@ -69,8 +76,59 @@ def test_detector_cfg_builds_and_runs(path):
         assert "total_loss" in losses and np.isfinite(float(losses["total_loss"]))
 
 
-@pytest.mark.parametrize("path", REG_CFGS + DATA_CFGS + OPT_CFGS,
-                         ids=[os.path.relpath(p, ROOT) for p in REG_CFGS + DATA_CFGS + OPT_CFGS])
+@pytest.mark.parametrize("path", REG_CFGS + DATA_CFGS + OPT_CFGS + VIS_CFGS,
+                         ids=[os.path.relpath(p, ROOT) for p in REG_CFGS + DATA_CFGS + OPT_CFGS + VIS_CFGS])
 def test_support_cfg_parses(path):
     c = _load(path)
     assert len(c) > 0, path
+
+
+@pytest.mark.parametrize("path", REG_CFGS, ids=[os.path.basename(p) for p in REG_CFGS])
+def test_registration_cfg_builds_preprocessors(path):
+    """Every registration YAML must construct its preprocessor objects
+    (not just parse): GroundPlaneRemover / ClusterProposal /
+    ClusterTracking config schemas are validated at __init__."""
+    from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
+    from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
+    from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking
+
+    builders = {
+        "GroundPlaneRemover": GroundPlaneRemover,
+        "ClusterProposal": ClusterProposal,
+        "ClusterTracking": ClusterTracking,
+    }
+    c = _load(path)
+    assert c.MODEL.NAME == "SimpleReg", path
+    for pre in c.MODEL.PREPROCESSORS:
+        assert pre.NAME in builders, (path, pre.NAME)
+        obj = builders[pre.NAME](pre)
+        assert obj is not None
+
+
+@pytest.mark.parametrize("path", OPT_CFGS, ids=[os.path.basename(p) for p in OPT_CFGS])
+def test_optimizer_cfg_builds(path):
+    """Every optimizer YAML must build an optax optimizer + schedule."""
+    from pcseqlearning_tpu.runtime.optimization import build_optimizer
+
+    c = _load(path)
+    tx, sched = build_optimizer(c.OPTIMIZATION, total_iters_each_epoch=10,
+                                total_epochs=int(c.OPTIMIZATION.get("NUM_EPOCHS", 1)))
+    lr0 = float(sched(0))
+    assert np.isfinite(lr0) and lr0 >= 0.0, (path, lr0)
+
+
+def test_visualizer_cfg_builds():
+    """The visualizer cfg slot builds a GeometryVisualizer whose quantity
+    resolution runs headless (reference 4th composable config)."""
+    from pcseqlearning_tpu.models.visualizers import GeometryVisualizer
+
+    for path in VIS_CFGS:
+        c = _load(path)
+        vis = GeometryVisualizer(c.VISUALIZER)
+        seq = {
+            "point_fxyz": np.random.RandomState(0).rand(64, 4).astype(np.float32),
+            "point_height": np.zeros(64, np.float32),
+            "segmentation_label": np.zeros(64, np.int64),
+        }
+        segs = vis(seq)
+        assert segs is not None
