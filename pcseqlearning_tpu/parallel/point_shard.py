@@ -32,8 +32,8 @@ from jax.sharding import PartitionSpec as P
 def shard_points_by_x(fxyz, num_shards, radius=None):
     """Host prep: x-sort and split into equal-count slabs.
 
-    Returns (points [D, N_loc, 4], gids [D, N_loc], valid [D, N_loc],
-    unsort [N] — original row of each (d, i) slot flattened).
+    Returns (points [D, N_loc, 4], gids [D, N_loc], valid [D, N_loc]);
+    ``gids[d, i]`` is the original row of each slot, -1 for padding.
 
     When ``radius`` is given, asserts every slab is wider than it: halos
     come only from immediate ring neighbors, so a slab thinner than the
@@ -79,8 +79,10 @@ def sharded_radius_neighbors(points, gids, valid, radius, mesh, axis="dp",
     """Radius k-NN over an x-sharded point table.
 
     points [D, N_loc, 4] (frame, x, y, z); gids [D, N_loc] global row ids;
-    valid [D, N_loc]. Returns (neighbor_gids [D, N_loc, k], dist2, mask)
-    aligned to the sharded layout.
+    valid [D, N_loc]. Returns (neighbor_gids [D, N_loc, k], dist2, mask,
+    num_halo_truncated [D] — per-device count of boundary-strip points that
+    exceeded ``halo_cap`` and were dropped from the exchanged halo) aligned
+    to the sharded layout.
     """
     from ..ops import hash_graph
 
@@ -94,7 +96,7 @@ def sharded_radius_neighbors(points, gids, valid, radius, mesh, axis="dp",
         )
         n_loc = points.shape[1]
         out_gids = jnp.where(mask, gids[0][jnp.clip(idx, 0, n_loc - 1)], -1)
-        return out_gids[None], d2[None], mask[None]
+        return out_gids[None], d2[None], mask[None], jnp.zeros(1, jnp.int32)
     radius = jnp.asarray(radius, points.dtype)
 
     def local(pts, ids, val):
@@ -105,6 +107,10 @@ def sharded_radius_neighbors(points, gids, valid, radius, mesh, axis="dp",
         xmax = jnp.max(jnp.where(val, x, -big))
         left_sel = val & (x <= xmin + radius)
         right_sel = val & (x >= xmax - radius)
+        n_trunc = (
+            jnp.maximum(jnp.sum(left_sel.astype(jnp.int32)) - halo_cap, 0)
+            + jnp.maximum(jnp.sum(right_sel.astype(jnp.int32)) - halo_cap, 0)
+        )
         lp, li, lv = _compact_strip(pts, ids, left_sel, halo_cap)
         rp, ri, rv = _compact_strip(pts, ids, right_sel, halo_cap)
 
@@ -125,10 +131,10 @@ def sharded_radius_neighbors(points, gids, valid, radius, mesh, axis="dp",
         )
         n_all = all_pts.shape[0]
         out_gids = jnp.where(mask, all_ids[jnp.clip(idx, 0, n_all - 1)], -1)
-        return out_gids[None], d2[None], mask[None]
+        return out_gids[None], d2[None], mask[None], n_trunc[None]
 
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
     )(points, gids, valid)

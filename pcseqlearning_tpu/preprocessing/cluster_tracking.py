@@ -141,8 +141,12 @@ def _window_claim_pallas(refs, rvalid, ref_comp, q, qv, radius, F, X, Y,
     tiles and no Pe subsample (reference NN extraction,
     cluster_tracking.py:342-360).
 
-    Returns (component per query [-1 none], z of matched extracted point,
-    num_truncated)."""
+    The z-band test (matched z within (-0.05, 0.5) of the query, reference
+    353-356) folds in ON DEVICE, and the result ships as ONE int16 vector —
+    the tunneled D2H link (~50 MB/s) makes every transferred byte part of
+    the steady-state frame cost.
+
+    Returns (component per query [-1 none/z-rejected] int16, num_truncated)."""
     from ..ops import pallas_scan
 
     idx, _, mask, ntrunc = pallas_scan.radius_neighbors_sorted(
@@ -151,13 +155,15 @@ def _window_claim_pallas(refs, rvalid, ref_comp, q, qv, radius, F, X, Y,
     )
     i0 = jnp.clip(idx[:, 0], 0, refs.shape[0] - 1)
     ok = mask[:, 0]
-    comp = jnp.where(ok, ref_comp[i0], -1).astype(jnp.int32)
-    z = jnp.where(ok, refs[i0, 3], 0.0)
-    return comp, z, ntrunc
+    zdiff = refs[i0, 3] - q[:, 3]
+    ok &= (zdiff < 0.5) & (zdiff > -0.05)
+    comp = jnp.where(ok, ref_comp[i0], -1).astype(jnp.int16)
+    return comp, ntrunc
 
 
-# all window frames' box assignment in one dispatch
-_box_assign_batch = jax.jit(jax.vmap(lambda p, b, v: _box_assign(p, b, v)))
+# all window frames' box assignment in one dispatch; int16 on the wire
+_box_assign_batch = jax.jit(
+    jax.vmap(lambda p, b, v: _box_assign(p, b, v).astype(jnp.int16)))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -885,33 +891,33 @@ class ClusterTracking:
                 (extracted.fxyz[:, 1:3].max(0) - extracted.fxyz[:, 1:3].min(0)).max()
             )
             XY = 1 << max(int(np.ceil(span / claim_r)) + 3, 2).bit_length()
+            assert len(active_comps) < 32767 and b_cap < 32767, \
+                "int16 wire format overflow"
             _tp = self._tick("ex_pack", _tp)
-            comp_all, z_all, _ = _window_claim_pallas(
+            comp_all, _ = _window_claim_pallas(
                 jnp.asarray(refs), jnp.asarray(rvalid), jnp.asarray(ref_comp),
                 jnp.asarray(qx_all.reshape(-1, 4)), jnp.asarray(qv_all.reshape(-1)),
                 jnp.asarray(claim_r, jnp.float32),
                 F=2 * self.track_interval + 1, X=XY, Y=XY,
             )
             comp_all = comp_all.reshape(Fw, n_cap)
-            z_all = z_all.reshape(Fw, n_cap)
             gt_all = _box_assign_batch(
                 jnp.asarray(qx_all[..., 1:4]), jnp.asarray(boxes_all),
                 jnp.asarray(bval_all),
             )
-            # drain in THREE bulk transfers (per-frame slice reads through
-            # the tunnel each pay a full D2H round-trip: 51 reads -> 3)
-            for v in (comp_all, z_all, gt_all):
+            # drain in TWO bulk transfers (per-frame slice reads through
+            # the tunnel each pay a full D2H round-trip: 51 reads -> 2)
+            for v in (comp_all, gt_all):
                 try:
                     v.copy_to_host_async()
                 except AttributeError:
                     pass
             comp_np_all = np.asarray(comp_all)
-            z_np_all = np.asarray(z_all)
             gt_np_all = np.asarray(gt_all)
             self._tick("ex_dispatch", _tp)
             for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
                 pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
-                                comp_np_all[i], z_np_all[i],
+                                comp_np_all[i], None,
                                 gt_np_all[i] if len(b_idx) else None))
         else:
             for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx in frames_info:
@@ -948,8 +954,9 @@ class ClusterTracking:
         for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev in pending:
             n_ref = len(ref_xyz)
             _tp = __import__("time").time()
-            comp_local_np = np.asarray(comp_j)[:n_ref]
-            zsel = np.asarray(zsel)[:n_ref]
+            comp_local_np = np.asarray(comp_j)[:n_ref].astype(np.int64)
+            if zsel is not None:
+                zsel = np.asarray(zsel)[:n_ref]
             comp_np = np.where(
                 (comp_local_np >= 0) & (comp_local_np < len(active_comps)),
                 active_comps[np.clip(comp_local_np, 0, len(active_comps) - 1)], -1,
@@ -970,8 +977,9 @@ class ClusterTracking:
             mov_by_comp[ex_comp] = ex_mov
 
             comp_c = np.clip(comp_np, 0, num_components - 1)
-            zdiff = zsel - ref_xyz[:, 2]
-            ok &= (zdiff < 0.5) & (zdiff > -0.05)
+            if zsel is not None:  # batched path folds the z test on device
+                zdiff = zsel - ref_xyz[:, 2]
+                ok &= (zdiff < 0.5) & (zdiff > -0.05)
             dist = np.linalg.norm(ref_xyz[:, :2] - cc[comp_c], axis=-1)
             ok &= dist < cd[comp_c] + 0.05
 
@@ -1127,10 +1135,11 @@ class ClusterTracking:
                         f" num_boxes={int(sb.sum())}, coverage={cov:.6f}"
                     )
 
+        # reference prints the literal 'NA' when nothing moves (917-919)
         moving_miou = (
             float(seq_boxes.best_iou[seq_boxes.moving.astype(bool)].mean())
             if seq_boxes.moving.astype(bool).any()
-            else float("nan")
+            else "NA"
         )
         print(f"All Box mIoU={seq_boxes.best_iou.mean()}")
         print(f"Moving Box mIoU={moving_miou}")

