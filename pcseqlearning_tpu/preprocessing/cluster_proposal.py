@@ -131,6 +131,55 @@ class ClusterProposal:
         # at ~2x less top-k + gather work per chunk
         self.cc_neighbors = int(self.model_cfg.get("CC_NEIGHBORS", min(self.max_num_neighbors, 16)))
         self.cc_cell_cap = int(self.model_cfg.get("CC_CELL_CAP", min(self.cell_cap, 24)))
+        # multi-chip: x-shard each chunk's point table over NUM_SHARDS
+        # devices with halo exchange (SURVEY §5 long-context scaling) —
+        # the halo-exchange CC in parallel/point_shard.py
+        self.num_shards = int(self.model_cfg.get(
+            "NUM_SHARDS",
+            (runtime_cfg or {}).get("num_shards", 1) if isinstance(runtime_cfg, dict) else 1,
+        ))
+        self.halo_cap = int(self.model_cfg.get("HALO_CAP", 4096))
+        self._mesh = None
+
+    def _shard_mesh(self):
+        if self._mesh is None and self.num_shards > 1:
+            from ..parallel import make_mesh
+            devs = jax.devices()
+            if len(devs) >= self.num_shards:
+                self._mesh = make_mesh(devices=devs[: self.num_shards],
+                                       dp=self.num_shards, mp=1)
+            else:
+                print(f"Cluster Proposal: NUM_SHARDS={self.num_shards} but only "
+                      f"{len(devs)} devices — falling back to single-device")
+                self.num_shards = 1
+        return self._mesh
+
+    def _propose_chunk_sharded(self, pts, radius):
+        """Dispatch one chunk's CC x-sharded over the device mesh with halo
+        exchange (parallel/point_shard.sharded_connected_components).
+
+        Returns a pending payload ("sharded", roots, gids, valid, ntrunc)
+        or None to fall back single-device (slab thinner than the radius —
+        dense region where immediate-ring halos would be incomplete)."""
+        from ..parallel.point_shard import (
+            shard_points_by_x, sharded_connected_components)
+
+        mesh = self._shard_mesh()
+        if mesh is None:
+            return None
+        try:
+            sp, gi, va = shard_points_by_x(
+                pts.astype(np.float32), self.num_shards, radius=radius)
+        except ValueError as e:
+            print(f"Cluster Proposal: sharded CC fallback ({e})")
+            return None
+        roots, ntrunc = sharded_connected_components(
+            jnp.asarray(sp), jnp.asarray(gi), jnp.asarray(va),
+            jnp.asarray(radius, jnp.float32), mesh=mesh,
+            k=self.cc_neighbors, halo_cap=self.halo_cap,
+            cell_cap=self.cc_cell_cap,
+        )
+        return ("sharded", roots, gi, va, ntrunc)
 
     # -- proposal ----------------------------------------------------------
     def propose_cluster(self, seq_dict):
@@ -151,6 +200,11 @@ class ClusterProposal:
                 if not m.any():
                     continue
                 pts = fxyz[m]
+                if self.num_shards > 1:
+                    res = self._propose_chunk_sharded(pts, radius)
+                    if res is not None:
+                        pending.append((comp_key, m, pts.shape[0], res))
+                        continue
                 cap = bucket_size(pts.shape[0])
                 padded, valid = pad_rows(pts.astype(np.float32), cap, fill=1e8)
                 if use_pallas:
@@ -168,19 +222,35 @@ class ClusterProposal:
                         jnp.asarray(padded), jnp.asarray(valid), radius,
                         self.cc_neighbors, cell_cap=self.cc_cell_cap,
                     )
-                pending.append((comp_key, m, pts.shape[0], comp, num, ntrunc))
+                pending.append((comp_key, m, pts.shape[0], ("dense", comp, num, ntrunc)))
 
         # start every chunk's D2H before blocking on any (each blocking
         # read through the tunneled TPU pays a full round-trip latency)
-        for _, _, _, comp, num, ntrunc in pending:
-            for v in (comp, num, ntrunc):
+        for _, _, _, payload in pending:
+            for v in payload[1:]:
                 try:
                     v.copy_to_host_async()
                 except AttributeError:
                     pass
         components = {k: np.zeros(n, dtype=np.int64) for k in self.component_keys}
         totals = {k: 0 for k in self.component_keys}
-        for comp_key, m, n_pts, comp, num, ntrunc in pending:
+        for comp_key, m, n_pts, payload in pending:
+            if payload[0] == "sharded":
+                _, roots, gi, va, ntrunc = payload
+                roots = np.asarray(roots).reshape(-1)
+                gi, va = gi.reshape(-1), va.reshape(-1)
+                root_by_row = np.empty(n_pts, np.int64)
+                root_by_row[gi[va]] = roots[va]
+                _, comp_np = np.unique(root_by_row, return_inverse=True)
+                num = int(comp_np.max()) + 1 if n_pts else 0
+                components[comp_key][m] = comp_np + totals[comp_key]
+                totals[comp_key] += num
+                if int(np.asarray(ntrunc).sum()) > 0:
+                    print(f"Cluster Proposal {comp_key}: WARNING "
+                          f"{int(np.asarray(ntrunc).sum())} halo points truncated "
+                          f"at HALO_CAP={self.halo_cap}")
+                continue
+            _, comp, num, ntrunc = payload
             components[comp_key][m] = np.asarray(comp)[:n_pts] + totals[comp_key]
             totals[comp_key] += int(num)
             if ntrunc is not None and int(ntrunc) > 0:
