@@ -236,6 +236,15 @@ class Detector3DTemplate(nn.Module):
                 losses = PointHeadBox.loss(batch_dict, batch_dict["gt_boxes"])
             else:
                 losses = self.dense_head.loss(batch_dict)
+            # CaDDN depth-distribution supervision (reference caddn.py
+            # get_training_loss: loss_rpn + loss_depth)
+            if "depth_logits" in batch_dict and hasattr(self.vfe, "depth_loss"):
+                dl = self.vfe.depth_loss(batch_dict)
+                losses = dict(losses)
+                losses["depth_loss"] = dl
+                base = "center_loss" if "center_loss" in losses else "rpn_loss"
+                if base in losses:
+                    losses[base] = losses[base] + dl
             batch_dict["losses"] = losses
         if self.seg_head is not None and "point_features" in batch_dict:
             batch_dict = self.seg_head(batch_dict, train)

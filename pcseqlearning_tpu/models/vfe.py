@@ -9,6 +9,7 @@ produce fixed-capacity voxel tables ready for the sparse backbone.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
@@ -329,20 +330,129 @@ VFES["HybridVFE"] = PlaneFittingVFE
 VFES["RepsurfDynamicVFE"] = RepsurfDynamicVFE
 
 
+def bin_depths_lid(depth, depth_min, depth_max, num_bins, target=False):
+    """LID (linear-increasing discretization) depth binning (reference
+    utils/transform_utils.py:bin_depths, CaDDN paper eq. 2): bin widths
+    grow linearly so near-range resolution is finer.
+
+    target=False returns the CONTINUOUS bin coordinate (for trilinear
+    frustum sampling); target=True returns int bins with out-of-range and
+    non-finite pixels mapped to ``num_bins`` (the overflow class)."""
+    bin_size = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
+    idx = -0.5 + 0.5 * jnp.sqrt(1 + 8 * (depth - depth_min) / bin_size)
+    if target:
+        bad = (idx < 0) | (idx > num_bins) | ~jnp.isfinite(idx)
+        return jnp.where(bad, num_bins, jnp.floor(idx)).astype(jnp.int32)
+    return idx
+
+
+def lidar_depth_map(points, valid, K, T, H, W):
+    """Project lidar points into the image and scatter-min their camera
+    depth to a [H, W] map (0 where no point lands) — the ``depth_maps``
+    supervision input the reference dataset precomputes for CaDDN.
+
+    points [N, 3] lidar xyz; K [3, 3]; T [4, 4] lidar->cam."""
+    cam = points @ T[:3, :3].T + T[:3, 3]
+    depth = cam[:, 2]
+    uvw = cam @ K.T
+    u = jnp.round(uvw[:, 0] / jnp.maximum(depth, 1e-3)).astype(jnp.int32)
+    v = jnp.round(uvw[:, 1] / jnp.maximum(depth, 1e-3)).astype(jnp.int32)
+    ok = valid & (depth > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    flat = jnp.where(ok, v * W + u, H * W)
+    big = jnp.asarray(1e9, points.dtype)
+    dmap = jnp.full(H * W + 1, big, points.dtype).at[flat].min(
+        jnp.where(ok, depth, big)
+    )[: H * W].reshape(H, W)
+    return jnp.where(dmap >= big, 0.0, dmap)
+
+
+def frustum_sample_voxels(feat, prob, K, T, centers, img_hw,
+                          min_depth, max_depth, depth_bins):
+    """Trilinearly sample the implicit frustum feature volume at voxel
+    centers (reference f2v/frustum_to_voxel.py + sampler.py grid_sample).
+
+    trilinear(prob ⊗ feat) = Σ_{uv corner} w_uv · feat[corner] ·
+    (w_d0·prob[corner, d0] + w_d1·prob[corner, d1]) — exact, without
+    materializing the [h, w, D, C] outer product.
+
+    feat [h, w, C]; prob [h, w, D]; K [3, 3]; T [4, 4] lidar->cam;
+    centers [V, 3] lidar-frame voxel centers; img_hw: full-res (H, W).
+    Returns [V, C] (zeros outside the frustum)."""
+    H, W = img_hw
+    h, w = feat.shape[0], feat.shape[1]
+    cam = centers @ T[:3, :3].T + T[:3, 3]
+    depth = jnp.maximum(cam[:, 2], 1e-3)
+    uvw = cam @ K.T
+    # frustum coords: image plane (feature-map scale) + continuous LID bin
+    u = uvw[:, 0] / depth * (w / W)
+    v = uvw[:, 1] / depth * (h / H)
+    d = bin_depths_lid(cam[:, 2], min_depth, max_depth, depth_bins)
+    inside = (
+        (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1)
+        & (cam[:, 2] > 0) & (d > -1.0) & (d < depth_bins)
+    )
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
+    wu = jnp.clip(u - u0, 0, 1)[:, None]
+    wv = jnp.clip(v - v0, 0, 1)[:, None]
+    # depth interpolation with zero padding outside [0, D-1]
+    d0 = jnp.floor(d).astype(jnp.int32)
+    wd1 = jnp.clip(d - d0, 0, 1)
+    ok0 = (d0 >= 0) & (d0 < depth_bins)
+    ok1 = (d0 + 1 >= 0) & (d0 + 1 < depth_bins)
+    d0c = jnp.clip(d0, 0, depth_bins - 1)
+    d1c = jnp.clip(d0 + 1, 0, depth_bins - 1)
+
+    def corner(vi, ui, wgt):
+        p = prob[vi, ui]  # [V, D]
+        ar = jnp.arange(d0.shape[0])
+        pd = (
+            jnp.where(ok0, p[ar, d0c], 0.0) * (1 - wd1)
+            + jnp.where(ok1, p[ar, d1c], 0.0) * wd1
+        )
+        return feat[vi, ui] * pd[:, None] * wgt
+
+    f = (
+        corner(v0, u0, (1 - wu) * (1 - wv))
+        + corner(v0, u0 + 1, wu * (1 - wv))
+        + corner(v0 + 1, u0, (1 - wu) * wv)
+        + corner(v0 + 1, u0 + 1, wu * wv)
+    )
+    return jnp.where(inside[:, None], f, 0.0)
+
+
 class ImageVFE(nn.Module):
     """Camera-to-voxel feature encoder — the CaDDN front end (reference
-    vfe/image_vfe.py + image_vfe_modules/{ffn,f2v}): a small conv encoder
-    predicts per-pixel features and a depth-bin distribution; voxel centers
-    project into the image via a pinhole model (batch_dict['calib_K'] /
-    'calib_T' or identity defaults) and gather depth-weighted bilinear
-    features."""
+    vfe/image_vfe.py + image_vfe_modules/{ffn,f2v}).
+
+    Faithful pipeline: a conv encoder (compact stand-in for the reference's
+    DeepLabV3/ResNet-101 DDN — depth comes from the same trunk as features)
+    predicts per-pixel features and a (D+1)-way depth distribution whose
+    last class is beyond-range (depth_ffn.py:create_frustum_features drops
+    it after softmax, unnormalized); voxel centers transform to frustum
+    coordinates (u, v, continuous LID depth bin — frustum_grid_generator.py
+    + transform_utils.bin_depths) and TRILINEARLY sample the frustum
+    feature volume. The [h, w, D, C] outer-product volume is never
+    materialized: trilinear(prob ⊗ feat) expands to per-corner
+    feat * (depth-interpolated prob), so only 4 spatial corners x 2 depth
+    bins are gathered per voxel — gather-bound, TPU-friendly.
+
+    Depth supervision: :meth:`depth_loss` (reference ddn_loss/ddn_loss.py)
+    — focal cross-entropy against the LID-binned lidar depth map with
+    foreground/background balancing from 2D boxes."""
 
     voxel_size: Sequence[float]
     point_cloud_range: Sequence[float]
     voxel_cap: int
     depth_bins: int = 16
+    min_depth: float = 2.0
     max_depth: float = 60.0
     channels: int = 32
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    fg_weight: float = 13.0
+    bg_weight: float = 1.0
+    loss_weight: float = 3.0
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
@@ -356,9 +466,13 @@ class ImageVFE(nn.Module):
             x = BatchNorm2d(name=f"enc_bn{i}")(x, train)
             x = nn.relu(x)
         feat = nn.Conv(self.channels, (1, 1), name="feat")(x)  # [B, h, w, C]
-        depth_logits = nn.Conv(self.depth_bins, (1, 1), name="depth")(x)
-        depth_prob = jax.nn.softmax(depth_logits, axis=-1)
+        # D+1 classes: last = beyond max range (reference ddn num_classes =
+        # num_bins + 1); frustum probs drop it WITHOUT renormalizing
+        depth_logits = nn.Conv(self.depth_bins + 1, (1, 1), name="depth")(x)
+        depth_prob = jax.nn.softmax(depth_logits, axis=-1)[..., : self.depth_bins]
         h, w = feat.shape[1], feat.shape[2]
+        batch_dict["depth_logits"] = depth_logits
+        batch_dict["image_downsample"] = H // h
 
         # dense voxel grid centers
         pc_min = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
@@ -378,26 +492,13 @@ class ImageVFE(nn.Module):
         K = batch_dict.get("calib_K", jnp.broadcast_to(jnp.eye(3), (B, 3, 3)))
         T = batch_dict.get("calib_T", jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
 
-        def per_sample(feat_b, prob_b, K_b, T_b):
-            cam = centers @ T_b[:3, :3].T + T_b[:3, 3]
-            depth = jnp.maximum(cam[:, 2], 1e-3)
-            uvw = cam @ K_b.T
-            u = uvw[:, 0] / depth * (w / W)
-            v = uvw[:, 1] / depth * (h / H)
-            inside = (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1) & (cam[:, 2] > 0)
-            u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
-            v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
-            wu = jnp.clip(u - u0, 0, 1)[:, None]
-            wv = jnp.clip(v - v0, 0, 1)[:, None]
-            f = (feat_b[v0, u0] * (1 - wu) * (1 - wv) + feat_b[v0, u0 + 1] * wu * (1 - wv)
-                 + feat_b[v0 + 1, u0] * (1 - wu) * wv + feat_b[v0 + 1, u0 + 1] * wu * wv)
-            dbin = jnp.clip(
-                (depth / self.max_depth * self.depth_bins).astype(jnp.int32), 0, self.depth_bins - 1
-            )
-            pw = (prob_b[v0, u0])[jnp.arange(dbin.shape[0]), dbin]
-            return jnp.where(inside[:, None], f * pw[:, None], 0.0)
-
-        vox = jax.vmap(per_sample)(feat, depth_prob, K, T)  # [B, V, C]
+        sampler = functools.partial(
+            frustum_sample_voxels,
+            centers=centers, img_hw=(H, W),
+            min_depth=self.min_depth, max_depth=self.max_depth,
+            depth_bins=self.depth_bins,
+        )
+        vox = jax.vmap(sampler)(feat, depth_prob, K, T)  # [B, V, C]
         # flatten to the framework's sparse voxel table layout
         coords = jnp.stack([gz.reshape(-1), gy.reshape(-1), gx.reshape(-1)], axis=-1)
         bidx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), coords.shape[0])
@@ -418,6 +519,63 @@ class ImageVFE(nn.Module):
             batch_dict["voxel_valid"] = jnp.concatenate(
                 [batch_dict["voxel_valid"], jnp.zeros(pad, bool)])
         return batch_dict
+
+    def depth_loss(self, batch_dict):
+        """DDN depth-distribution loss (reference ddn_loss/ddn_loss.py:
+        focal CE against the LID-binned depth map, fg/bg-balanced by 2D
+        boxes — balancer.py). ``depth_maps`` [B, H, W] come from the
+        dataset or are built here from lidar points + calib
+        (:func:`lidar_depth_map`); pixels with no return bin to the
+        overflow class, exactly like the reference's 0-depth pixels."""
+        logits = batch_dict["depth_logits"]  # [B, h, w, D+1]
+        B, h, w, _ = logits.shape
+        dmaps = batch_dict.get("depth_maps")
+        if dmaps is None:
+            pts = batch_dict["point_bxyz"]
+            val = batch_dict.get("point_valid", jnp.ones(pts.shape[0], bool))
+            ds0 = int(batch_dict.get("image_downsample", 4))
+            H, W = h * ds0, w * ds0
+            K = batch_dict.get("calib_K", jnp.broadcast_to(jnp.eye(3), (B, 3, 3)))
+            T = batch_dict.get("calib_T", jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
+            bidx = jnp.round(pts[:, 0]).astype(jnp.int32)
+            dmaps = jnp.stack([
+                lidar_depth_map(pts[:, 1:4], val & (bidx == b), K[b], T[b], H, W)
+                for b in range(B)
+            ])
+        ds = dmaps.shape[1] // h
+        if ds > 1:  # nearest-surface min-pool to the logits resolution
+            dm = dmaps[:, : h * ds, : w * ds].reshape(B, h, ds, w, ds)
+            big = jnp.asarray(1e9, dm.dtype)
+            pooled = jnp.min(jnp.where(dm > 0, dm, big), axis=(2, 4))
+            dmaps = jnp.where(pooled >= big, 0.0, pooled)
+        target = bin_depths_lid(
+            jnp.where(dmaps > 0, dmaps, -1.0),
+            self.min_depth, self.max_depth, self.depth_bins, target=True,
+        )  # [B, h, w] int; empty pixels -> overflow class D
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+        pt = jnp.exp(-ce)
+        focal = self.focal_alpha * (1.0 - pt) ** self.focal_gamma * ce
+
+        weights = jnp.full((B, h, w), self.bg_weight, logits.dtype)
+        boxes2d = batch_dict.get("gt_boxes2d")  # [B, N, 4] full-res u1v1u2v2
+        if boxes2d is not None:
+            dsf = float(batch_dict.get("image_downsample", 4))
+            uu = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+            vv = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+            bb = boxes2d / dsf
+            fg = jnp.zeros((B, h, w), bool)
+            for i in range(boxes2d.shape[1]):
+                u1, v1, u2, v2 = bb[:, i, 0], bb[:, i, 1], bb[:, i, 2], bb[:, i, 3]
+                live = (u2 > u1) & (v2 > v1)
+                fg |= (
+                    live[:, None, None]
+                    & (uu >= u1[:, None, None]) & (uu <= u2[:, None, None])
+                    & (vv >= v1[:, None, None]) & (vv <= v2[:, None, None])
+                )
+            weights = jnp.where(fg, self.fg_weight, self.bg_weight)
+        return (focal * weights).sum() / (B * h * w) * self.loss_weight
 
 
 VFES["ImageVFE"] = ImageVFE
