@@ -39,6 +39,43 @@ from .layers import MaskedBatchNorm
 VARIANTS = ("PointConvNet", "VolumeConvNet", "PointGroupNet", "PointPlaneNet", "PointNet2RepSurf")
 
 
+def _neighborhood_cov_eig(rel, nbr_mask):
+    """Eigen-structure of each local neighborhood's offset covariance.
+
+    rel [N, K, 3] neighbor offsets; nbr_mask [N, K]. Returns
+    (eigvals [N, 3] ascending, eigvecs [N, 3, 3] columns)."""
+    w = nbr_mask.astype(rel.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(rel * w, axis=1) / cnt
+    c = jnp.where(nbr_mask[..., None], rel - mean[:, None, :], 0.0)
+    cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[..., None]
+    return geometry.eigh3x3(cov)
+
+
+def volume_whiten(rel, nbr_mask):
+    """VolumeConvNet's distinguishing transform (reference
+    volumeconvnet.py via model_utils/graph_utils.py VolumeGraph edge
+    weights): rotate offsets into the neighborhood's principal frame and
+    normalize each axis by its extent. Invariant (up to axis sign) to
+    anisotropic axis-aligned scaling of the neighborhood — the property
+    pinned by tests/test_point_backbones.py."""
+    eigvals, eigvecs = _neighborhood_cov_eig(rel, nbr_mask)
+    scale = 1.0 / jnp.sqrt(jnp.maximum(eigvals, 1e-6))
+    return jnp.einsum("nkj,nji->nki", rel, eigvecs) * scale[:, None, :]
+
+
+def plane_features(rel, nbr_mask):
+    """PointPlaneNet's distinguishing features (reference
+    pointplanenet.py): the neighborhood plane normal (smallest covariance
+    eigenvector) and per-neighbor point-to-plane distances.
+
+    Returns (normal [N, 3], dist [N, K, 1])."""
+    _, eigvecs = _neighborhood_cov_eig(rel, nbr_mask)
+    normal = eigvecs[..., 0]
+    dist = jnp.einsum("nkj,nj->nk", rel, normal)[..., None]
+    return normal, dist
+
+
 class GraphEdgeConv(nn.Module):
     """One neighborhood aggregation with the variant's edge message."""
 
@@ -54,25 +91,12 @@ class GraphEdgeConv(nn.Module):
         flat_v = nbr_mask.reshape(-1)
 
         extra = []
-        if self.variant in ("VolumeConvNet", "PointPlaneNet"):
-            # neighborhood covariance: eigen-structure of the local cloud
-            w = nbr_mask.astype(rel.dtype)[..., None]
-            cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-            mean = jnp.sum(rel * w, axis=1) / cnt
-            c = jnp.where(nbr_mask[..., None], rel - mean[:, None, :], 0.0)
-            cov = jnp.einsum("nki,nkj->nij", c, c) / cnt[..., None]
-            eigvals, eigvecs = geometry.eigh3x3(cov)
-            if self.variant == "VolumeConvNet":
-                # whiten offsets by the neighborhood extent (volume-aware
-                # edge weights)
-                scale = 1.0 / jnp.sqrt(jnp.maximum(eigvals, 1e-6))
-                rel_w = jnp.einsum("nkj,nji->nki", rel, eigvecs) * scale[:, None, :]
-                extra.append(rel_w)
-            else:
-                normal = eigvecs[..., 0]  # smallest-eigenvalue direction
-                dist = jnp.einsum("nkj,nj->nk", rel, normal)[..., None]
-                extra.append(jnp.broadcast_to(normal[:, None, :], rel.shape))
-                extra.append(dist)
+        if self.variant == "VolumeConvNet":
+            extra.append(volume_whiten(rel, nbr_mask))
+        elif self.variant == "PointPlaneNet":
+            normal, dist = plane_features(rel, nbr_mask)
+            extra.append(jnp.broadcast_to(normal[:, None, :], rel.shape))
+            extra.append(dist)
 
         if self.variant in ("PointConvNet", "VolumeConvNet"):
             # continuous conv: a weight net over offsets modulates features

@@ -50,6 +50,100 @@ def test_graph_conv_net_variants(variant):
     assert f.shape == (256, 24) and np.isfinite(f).all() and np.abs(f).sum() > 0
 
 
+def test_volume_whitening_invariant_to_anisotropic_scaling():
+    """VolumeConvNet's distinguishing behavior (VERDICT r2 next #7): the
+    whitened offsets are invariant (up to axis sign) to anisotropic
+    axis-aligned scaling of the neighborhood, while raw offsets are not."""
+    from pcseqlearning_tpu.models.backbones_graph import volume_whiten
+
+    rng = np.random.RandomState(0)
+    K = 24
+    # rotate each neighborhood into its principal frame so the SAMPLE
+    # covariance is exactly diagonal — the invariance being pinned is
+    # exact only when the scaling aligns with the principal axes
+    rel = np.zeros((4, K, 3), np.float32)
+    mask = np.ones((4, K), bool)
+    mask[:, -3:] = False
+    for i in range(4):
+        r = rng.randn(K - 3, 3) * np.array([1.0, 2.0, 4.0])
+        r = r - r.mean(0)
+        _, vec = np.linalg.eigh((r.T @ r) / len(r))
+        rel[i, : K - 3] = (r @ vec).astype(np.float32)
+    scale = np.array([1.2, 1.5, 2.0], np.float32)  # order-preserving
+    w1 = np.asarray(volume_whiten(jnp.asarray(rel), jnp.asarray(mask)))
+    w2 = np.asarray(volume_whiten(jnp.asarray(rel * scale), jnp.asarray(mask)))
+    # compare up to per-axis sign (eigenvector sign is arbitrary)
+    for ax in range(3):
+        d_same = np.abs(w1[..., ax] - w2[..., ax]).max()
+        d_flip = np.abs(w1[..., ax] + w2[..., ax]).max()
+        assert min(d_same, d_flip) < 5e-2, (ax, d_same, d_flip)
+    # sanity: the raw offsets are NOT invariant
+    assert np.abs(rel - rel * scale).max() > 1.0
+
+
+def test_plane_features_match_eigh_oracle():
+    """PointPlaneNet's normal/distance features against a numpy
+    eigendecomposition oracle on a known plane (VERDICT r2 next #7)."""
+    from pcseqlearning_tpu.models.backbones_graph import plane_features
+
+    rng = np.random.RandomState(1)
+    K = 32
+    # neighborhood on the plane z = 0.3x - 0.2y, plus one lifted copy
+    uv = rng.randn(2, K, 2).astype(np.float32)
+    rel = np.zeros((2, K, 3), np.float32)
+    rel[..., :2] = uv
+    rel[..., 2] = 0.3 * uv[..., 0] - 0.2 * uv[..., 1]
+    lift = rng.randn(2, K).astype(np.float32) * 0.05
+    rel[1, :, 2] += lift[1]
+    mask = np.ones((2, K), bool)
+    normal, dist = plane_features(jnp.asarray(rel), jnp.asarray(mask))
+    normal, dist = np.asarray(normal), np.asarray(dist)
+
+    true_n = np.array([-0.3, 0.2, 1.0]) / np.linalg.norm([-0.3, 0.2, 1.0])
+    cosang = abs(float(normal[0] @ true_n))
+    assert cosang > 0.999, cosang
+    assert np.abs(dist[0]).max() < 1e-4  # exactly planar -> zero distances
+
+    # oracle for the noisy neighborhood: smallest eigenvector of np cov
+    c = rel[1] - rel[1].mean(0)
+    _, vec = np.linalg.eigh((c.T @ c) / K)
+    n_oracle = vec[:, 0]
+    assert abs(float(normal[1] @ n_oracle)) > 0.999
+    d_oracle = rel[1] @ n_oracle
+    assert min(np.abs(dist[1, :, 0] - d_oracle).max(),
+               np.abs(dist[1, :, 0] + d_oracle).max()) < 1e-3
+
+
+def test_repsurf_umbrella_matches_numpy_oracle():
+    """RepSurf descriptors vs a from-scratch numpy umbrella construction
+    (VERDICT r2 next #7): azimuth-sorted neighbor fan, per-triangle
+    normals/centroids/areas, +z orientation, masked means."""
+    from pcseqlearning_tpu.models.vfe import umbrella_surface_features
+
+    rng = np.random.RandomState(2)
+    n, k = 48, 6
+    xyz = rng.rand(n, 3).astype(np.float32) * np.array([4, 4, 1], np.float32)
+    got = np.asarray(umbrella_surface_features(
+        jnp.asarray(xyz), jnp.zeros(n, jnp.int32), jnp.ones(n, bool), k=k))
+
+    D = np.linalg.norm(xyz[:, None] - xyz[None], axis=-1)
+    np.fill_diagonal(D, np.inf)
+    for q in range(0, n, 7):
+        nbr = np.argsort(D[q])[:k]
+        rel = xyz[nbr] - xyz[q]
+        order = np.argsort(np.arctan2(rel[:, 1], rel[:, 0]), kind="stable")
+        rel = rel[order]
+        v0, v1 = rel, np.roll(rel, -1, axis=0)
+        nrm = np.cross(v0, v1)
+        area = 0.5 * np.linalg.norm(nrm, axis=-1)
+        unit = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+        unit = unit * np.where(unit[:, 2:3] < 0, -1.0, 1.0)
+        centroid = (v0 + v1) / 3.0
+        np.testing.assert_allclose(got[q, :3], unit.mean(0), atol=2e-3)
+        np.testing.assert_allclose(got[q, 3:6], centroid.mean(0), atol=2e-3)
+        np.testing.assert_allclose(got[q, 9], area.mean(), atol=2e-3)
+
+
 def test_umbrella_surface_features_plane():
     """Points on the z=0 plane: umbrella normals must be ~(0,0,1)."""
     from pcseqlearning_tpu.models.vfe import umbrella_surface_features
