@@ -81,8 +81,14 @@ def main():
     from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking
     from pcseqlearning_tpu.utils.edict import EDict
 
+    # BENCH_FRAMES / BENCH_POINTS / BENCH_PASSES parameterize the scene up
+    # to the reference envelope (210 sweeps x ~170k pts, all_sequence.yaml
+    # NUM_SWEEPS/MAX_NUM_POINTS) — tools/fullscale_log.md records the
+    # reference-scale capacity run
     num_frames = int(os.environ.get("BENCH_FRAMES", 20))
-    seq, gt = make_scene(num_frames=num_frames)
+    points_per_frame = int(os.environ.get("BENCH_POINTS", 90_000))
+    num_passes = int(os.environ.get("BENCH_PASSES", 2))
+    seq, gt = make_scene(num_frames=num_frames, points_per_frame=points_per_frame)
     seq_dict = {
         "point_fxyz": seq,
         "point_sweep": seq[:, 0].astype(np.int64),
@@ -145,7 +151,7 @@ def main():
     # tenant's burst (observed 10x swings on identical code) — take the
     # best of two steady-state passes
     elapsed = []
-    for i in range(2):
+    for i in range(num_passes):
         t0 = time.time()
         run_once()
         elapsed.append(time.time() - t0)
