@@ -398,17 +398,20 @@ def connected_components_radius(
     _, sorted_idx = jax.lax.sort((rlin, ridx), num_keys=1)
     sorted_xyz = fxyz[sorted_idx, 1:4]
     W_k = W + 128
-    n_pad = max(-(-n // 128) * 128, W_k)
+    # slots ARE the sorted nodes; blocks are consecutive slot ranges. The
+    # label table must cover every slot: round the table size up to BOTH
+    # the 128-lane window granularity and the Bq block granularity (a
+    # non-pow2 bucket like 851,300 rounds to different sizes — observed at
+    # reference scale as an ltab scatter shape mismatch)
+    nb = -(-n // Bq)
+    m_pad = nb * Bq
+    n_pad = max(-(-n // 128) * 128, W_k, m_pad)
     table = jnp.full((8, n_pad), 3e38, jnp.float32)
     table = table.at[0:3, :n].set(sorted_xyz.astype(jnp.float32).T)
     counts = jnp.zeros(L + 1, jnp.int32).at[rlin].add(1)
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
-
-    # slots ARE the sorted nodes; blocks are consecutive slot ranges
-    nb = -(-n // Bq)
-    m_pad = nb * Bq
     sl_f = jnp.zeros(m_pad, jnp.int32).at[:n].set(rf[sorted_idx])
     sl_cx = jnp.zeros(m_pad, jnp.int32).at[:n].set(rcx[sorted_idx])
     sl_cy = jnp.zeros(m_pad, jnp.int32).at[:n].set(rcy[sorted_idx])

@@ -184,10 +184,39 @@ def _ransac_all_ratios(vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, NP,
     w0 = sigma2 / (z_diff * z_diff + sigma2)  # [R, N]
     w0 = jnp.where(vox_valid[None, :], w0, 0.0)
 
-    onehot = ((pid[:, None] == jnp.arange(NP, dtype=pid.dtype)[None, :])
-              & vox_valid[:, None]).astype(f32)  # [N, NP]
-    cnt = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)  # [NP]
-    pctr = jnp.dot(vox_xyz.T, onehot, precision=hp) / cnt[None, :]  # [3, NP]
+    # the dense [N, NP] membership one-hot feeds the MXU, but at reference
+    # scale (210 sweeps -> millions of voxels x thousands of coarse
+    # pillars) it alone exceeds HBM — chunk the voxel axis so at most
+    # ~2^26 one-hot elements are live per step (observed: 31.4 GB compile
+    # -time OOM at 210 x 170k without this)
+    budget = max(1, (1 << 26) // NP)
+    chunk = min(n, 1 << (budget.bit_length() - 1))  # pow2 floor
+    if n % chunk:
+        chunk = n  # shapes not divisible (n not pow2): keep the dense path
+
+    def _pillar_accum(M):
+        """[K, N] -> [K, NP]: sum of M columns into their pillar."""
+        if chunk >= n:
+            onehot_full = ((pid[:, None] == jnp.arange(NP, dtype=pid.dtype)[None, :])
+                           & vox_valid[:, None]).astype(f32)
+            return jnp.dot(M, onehot_full, precision=hp)
+        nb = n // chunk
+        Mc = M.reshape(M.shape[0], nb, chunk).transpose(1, 0, 2)  # [nb, K, c]
+        pc = pid.reshape(nb, chunk)
+        vc = vox_valid.reshape(nb, chunk)
+
+        def one(args):
+            m, p, v = args
+            oh = ((p[:, None] == jnp.arange(NP, dtype=p.dtype)[None, :])
+                  & v[:, None]).astype(f32)
+            return jnp.dot(m, oh, precision=hp)
+
+        return jnp.sum(jax.lax.map(one, (Mc, pc, vc)), axis=0)
+
+    cnt = jnp.maximum(
+        _pillar_accum(jnp.where(vox_valid, 1.0, 0.0)[None, :].astype(f32))[0], 1.0
+    )  # [NP]
+    pctr = _pillar_accum(jnp.where(vox_valid[None, :], vox_xyz.T, 0.0)) / cnt[None, :]  # [3, NP]
     xl = vox_xyz - pctr.T[pid]  # [N, 3] local frame, bounded by pillar extent
     xlT = xl.T  # [3, N]
     x6 = jnp.stack([
@@ -202,7 +231,7 @@ def _ransac_all_ratios(vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, NP,
             w[:, None, :] * xlT[None, :, :],
             w[:, None, :] * x6[None, :, :],
         ], axis=1).reshape(R * 10, n)
-        S = jnp.dot(V, onehot, precision=hp).reshape(R, 10, NP)
+        S = _pillar_accum(V).reshape(R, 10, NP)
         sw = jnp.maximum(S[:, 0], 1e-6)  # [R, NP]
         c = S[:, 1:4] / sw[:, None, :]  # [R, 3, NP] (local frame)
         m2 = S[:, 4:10] / sw[:, None, :]  # [R, 6, NP]
@@ -262,7 +291,7 @@ def _ransac_all_ratios(vox_xyz, vox_valid, z, new_pidx, n_min_z, n_max_z, NP,
     w, center, normal, err, _, _ = jax.lax.while_loop(cond, body, init)
 
     hit = ((err < sigma2 ** 0.5) & vox_valid[None, :]).astype(f32)
-    num_hit = jnp.dot(hit, onehot, precision=hp)  # [R, NP]
+    num_hit = _pillar_accum(hit)  # [R, NP]
     best_r = jnp.argmax(num_hit, axis=0)  # [NP]
     take = lambda a: jnp.take_along_axis(a, best_r[None, :, None], axis=0)[0] if a.ndim == 3 else None
     best_conf = jnp.take_along_axis(num_hit, best_r[None, :], axis=0)[0]
@@ -486,13 +515,13 @@ def ground_plane_solve(
     jax.jit,
     static_argnames=("vox_cap", "pillar_dims", "pillar_size", "use_ransac",
                      "joint_opt", "lr", "decay_steps", "rigid_weight",
-                     "max_iters", "sigma2", "tls_k"),
+                     "max_iters", "sigma2", "tls_k", "cell"),
 )
 def ground_solve_fused(
     fxyz0, pc_range_min, vox_cap, pillar_dims,
     pillar_size=(2.0, 2.0), use_ransac=True, joint_opt=True,
     lr=0.01, decay_steps=(1600,), rigid_weight=0.5, max_iters=10000,
-    sigma2=0.0025, tls_k=8,
+    sigma2=0.0025, tls_k=8, cell=(0.10, 0.10, 0.03),
 ):
     """ONE executable for the whole ground stage: 10cm grid subsample ->
     pillar stats -> batched 30-ratio RANSAC -> TLS propagation -> L1 height
@@ -501,10 +530,15 @@ def ground_solve_fused(
     The axon relay pays a large, queue-dependent server-side cost the first
     time each executable runs (independent of the local compilation cache),
     so the stepped 5-program chain was most of the ground stage's warmup;
-    fusing also removes 4 host sync points from the steady-state pass."""
+    fusing also removes 4 host sync points from the steady-state pass.
+
+    ``cell``: the solve-grid resolution. Default 10 cm (reference
+    preprocessor_utils.py:369); the caller coarsens it at reference scale
+    so the voxel table fits a fixed device budget — per-point outputs stay
+    full resolution regardless (they ride ``inverse``)."""
     from ..ops import grid_utils
 
-    vox = grid_utils.grid_sample_mean(fxyz0, [0.10, 0.10, 0.03], num_voxels_cap=vox_cap)
+    vox = grid_utils.grid_sample_mean(fxyz0, list(cell), num_voxels_cap=vox_cap)
     vox_bxyz, vox_valid, inverse = vox["bxyz"], vox["valid"], vox["inverse"]
     points, pillars = format_pillars(
         vox_bxyz, vox_valid, pillar_size, pc_range_min, pillar_dims
@@ -594,7 +628,7 @@ def _solve_outputs_jit(vox_bxyz, pillar_idx, min_z, height):
     )
 
 
-def _count_occupied_voxels(point_fxyz):
+def _count_occupied_voxels(point_fxyz, cell=(0.10, 0.10, 0.03)):
     """Distinct 0.10x0.10x0.03 cells, counted on HOST numpy.
 
     Used only to size the voxel table. This deliberately does NOT run on
@@ -605,7 +639,8 @@ def _count_occupied_voxels(point_fxyz):
     ~0.2s on host anyway."""
     pts = np.asarray(point_fxyz)
     xyz = pts[:, 1:4].astype(np.float64)
-    c = np.floor((xyz - xyz.min(axis=0)) * np.array([10.0, 10.0, 1.0 / 0.03])).astype(np.int64)
+    inv = 1.0 / np.asarray(cell, np.float64)
+    c = np.floor((xyz - xyz.min(axis=0)) * inv).astype(np.int64)
     key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]  # each axis < 2^21
     return len(np.unique(key))
 
@@ -628,8 +663,20 @@ class GroundPlaneRemover:
         # cheap) instead of N — the RANSAC/IRLS loops run segment ops over
         # this capacity ~1500 times, so a tight table is the difference
         # between HBM-bound and compute-bound.
-        n_occ = _count_occupied_voxels(pts_np)
         from ..utils.padding import bucket_size
+
+        # at reference scale (210 sweeps, ~35M points) the 10 cm table
+        # outgrows HBM inside the fused solver — coarsen the SOLVE grid
+        # until it fits a fixed budget; per-point heights stay full-res
+        solve_cap = int(cfg.get("SOLVE_VOX_CAP", 1 << 21))
+        cell = (0.10, 0.10, 0.03)
+        n_occ = _count_occupied_voxels(pts_np, cell)
+        while n_occ > solve_cap:
+            cell = tuple(c * 2.0 for c in cell)
+            n_occ = _count_occupied_voxels(pts_np, cell)
+        if cell != (0.10, 0.10, 0.03):
+            print(f"Ground Removal: solve grid coarsened to {cell[0]:.2f} m "
+                  f"({n_occ} cells; SOLVE_VOX_CAP={solve_cap})")
 
         vox_cap = min(bucket_size(n_occ, base=4096), pts_np.shape[0])
 
@@ -646,7 +693,7 @@ class GroundPlaneRemover:
         fxyz0 = jnp.asarray(fxyz0_np)
 
         if warmup is not None:
-            vox = grid_utils.grid_sample_mean(fxyz0, [0.10, 0.10, 0.03], num_voxels_cap=vox_cap)
+            vox = grid_utils.grid_sample_mean(fxyz0, list(cell), num_voxels_cap=vox_cap)
             vox_bxyz, vox_valid, inverse = vox["bxyz"], vox["valid"], vox["inverse"]
             out = EDict(
                 pillar_height=jnp.asarray(warmup["pillar_height"]).reshape(-1),
@@ -677,6 +724,7 @@ class GroundPlaneRemover:
                 max_iters=int(cfg.get("MAX_NUM_ITERS", 10000)),
                 sigma2=float(cfg.get("SIGMA2", 0.0025)),
                 tls_k=int(cfg.get("K", 8)),
+                cell=cell,
             ))
         return out.point_height, out.point_horizon, out.point_error, out.pillar_height, out.pillar_min_z
 

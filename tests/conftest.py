@@ -19,7 +19,9 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 0.1 s: on this 1-CPU box mid-size compiles dominate suite wall time and
+# deserialization is ~10-50 ms — cache nearly everything
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -130,3 +130,32 @@ def test_connected_components_radius_oracle(rng):
         assert m1.setdefault(a, b) == b and m2.setdefault(b, a) == a
     assert (comp[~valid] == -1).all()
     assert len(set(lv)) == int(num)
+
+
+def test_connected_components_radius_unaligned_bucket(rng):
+    """n divisible by 128 but not by Bq=256: the label-table size must
+    round up to the block granularity (reference-scale regression — a
+    851,300-row chunk crashed the ltab scatter)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components as scipy_cc
+    from pcseqlearning_tpu.ops.pallas_scan import connected_components_radius
+
+    n = 384  # m_pad = 512 > old n_pad = 384
+    fxyz = np.concatenate([
+        np.zeros((n, 1), np.float32),
+        rng.rand(n, 2).astype(np.float32) * 8 - 4,
+        np.zeros((n, 1), np.float32),
+    ], axis=1)
+    valid = np.ones(n, bool)
+    r = 0.8
+    comp, num, ntrunc = connected_components_radius(
+        jnp.asarray(fxyz), jnp.asarray(valid), r, F=1, X=16, Y=16,
+        W=256, Bq=256, interpret=True,
+    )
+    comp = np.asarray(comp)
+    d2 = ((fxyz[None, :, 1:4] - fxyz[:, None, 1:4]) ** 2).sum(-1)
+    ncc, lab = scipy_cc(sp.csr_matrix(d2 <= r * r), directed=False)
+    m1, m2 = {}, {}
+    for a, b in zip(lab, comp):
+        assert m1.setdefault(a, b) == b and m2.setdefault(b, a) == a
+    assert ncc == int(num)
