@@ -193,11 +193,14 @@ class ClusterProposal:
         # while the host pads chunk i+2 and drains chunk i
         use_pallas = pallas_scan.use_pallas_scan()
         scan_w = int(self.model_cfg.get("SCAN_WINDOW", 1536))
+        from ..utils.frame_index import FrameIndex
+
+        findex = FrameIndex(frame)
         pending = []
         for comp_key, radius in zip(self.component_keys, self.radii):
             for f0 in range(0, num_frames, self.chunk_frames):
-                m = (frame >= f0) & (frame < f0 + self.chunk_frames)
-                if not m.any():
+                m = findex.rows_range(f0, f0 + self.chunk_frames)
+                if not len(m):
                     continue
                 pts = fxyz[m]
                 if self.num_shards > 1:
@@ -274,6 +277,13 @@ class ClusterProposal:
         return seq_boxes
 
     def evaluate_proposal(self, seq_dict):
+        import time as _t
+        _prof = {}
+
+        def _tick(key, t0):
+            _prof[key] = _prof.get(key, 0.0) + (_t.time() - t0)
+            return _t.time()
+
         fxyz = np.asarray(seq_dict["point_fxyz"])
         frame = np.asarray(seq_dict["point_sweep"]).reshape(-1)
         n = fxyz.shape[0]
@@ -297,59 +307,89 @@ class ClusterProposal:
                 trace_max_frame[t] = seq_boxes.frame[tm].max()
 
         results = EDict()
+        # frame geometry is identical for every component key: pack + H2D
+        # it ONCE (at reference scale the padded [F, p_cap, 3] table is
+        # ~660 MB — re-uploading it per key through the ~50 MB/s tunnel was
+        # most of evaluate_proposal's wall time)
+        _tp = _t.time()
+        from ..utils.frame_index import FrameIndex
+
+        findex = FrameIndex(frame)
+        frames_geo = []
+        p_cap = b_cap = 1
+        for fid in range(num_frames):
+            rows = findex.rows(fid)
+            bm = seq_boxes.frame == fid
+            if not len(rows) or not bm.any():
+                continue
+            b_idx = np.nonzero(bm)[0]
+            frames_geo.append((fid, rows, b_idx))
+            p_cap = max(p_cap, len(rows))
+            b_cap = max(b_cap, len(b_idx))
+        p_cap = bucket_size(p_cap)
+        b_cap = bucket_size(b_cap, base=32)
+        F = len(frames_geo)
+        if F:
+            pts_a = np.full((F, p_cap, 3), 1e8, np.float32)
+            pv_a = np.zeros((F, p_cap), bool)
+            box_a = np.zeros((F, b_cap, 7), np.float32)
+            bv_a = np.zeros((F, b_cap), bool)
+            for i, (fid, rows, b_idx) in enumerate(frames_geo):
+                npx = len(rows)
+                pts_a[i, :npx] = fxyz[rows, 1:4]
+                pv_a[i, :npx] = True
+                box_a[i, : len(b_idx)] = seq_boxes.attr[b_idx]
+                bv_a[i, : len(b_idx)] = True
+            pts_d, pv_d = jnp.asarray(pts_a), jnp.asarray(pv_a)
+            box_d, bv_d = jnp.asarray(box_a), jnp.asarray(bv_a)
+        _tp = _tick("geo_pack", _tp)
+
         for comp_key in self.component_keys:
             component = np.asarray(seq_dict[f"point_{comp_key}"])
             best_iou = np.zeros(num_boxes, np.float32)
             gt_box_id = np.zeros(n, np.int64) - 1
             pred_box_id = np.zeros(n, np.int64) - 1
 
-            # batch all frames into one vmapped evaluation (40 synced
-            # dispatches -> 1): pad every frame to the sequence-wide caps
+            _tp = _t.time()
             frames_data = []
-            p_cap = b_cap = c_cap = 1
-            for fid in range(num_frames):
-                pm = frame == fid
-                bm = seq_boxes.frame == fid
-                if not pm.any() or not bm.any():
-                    continue
-                pts = fxyz[pm][:, 1:4].astype(np.float32)
-                comp_f = component[pm]
+            c_cap = 1
+            for fid, rows, b_idx in frames_geo:
+                comp_f = component[rows]
                 uniq, local = np.unique(comp_f, return_inverse=True)
-                b_idx = np.nonzero(bm)[0]
-                frames_data.append((pm, pts, local, b_idx))
-                p_cap = max(p_cap, len(pts))
-                b_cap = max(b_cap, len(b_idx))
+                frames_data.append((rows, local, b_idx))
                 c_cap = max(c_cap, len(uniq))
-            p_cap = bucket_size(p_cap)
-            b_cap = bucket_size(b_cap, base=32)
             c_cap = bucket_size(c_cap, base=128)
-            F = len(frames_data)
             if F:
-                pts_a = np.full((F, p_cap, 3), 1e8, np.float32)
-                pv_a = np.zeros((F, p_cap), bool)
-                loc_a = np.full((F, p_cap), -1, np.int32)
-                box_a = np.zeros((F, b_cap, 7), np.float32)
-                bv_a = np.zeros((F, b_cap), bool)
-                for i, (pm, pts, local, b_idx) in enumerate(frames_data):
-                    pts_a[i, : len(pts)] = pts
-                    pv_a[i, : len(pts)] = True
-                    loc_a[i, : len(pts)] = local
-                    box_a[i, : len(b_idx)] = seq_boxes.attr[b_idx]
-                    bv_a[i, : len(b_idx)] = True
-                bb_a, gid_a, pid_a = jax.vmap(
-                    functools.partial(_evaluate_frame, c_cap=c_cap)
-                )(jnp.asarray(pts_a), jnp.asarray(pv_a), jnp.asarray(loc_a),
-                  jnp.asarray(box_a), jnp.asarray(bv_a))
+                assert c_cap < 32767, "int16 local component overflow"
+                loc_a = np.full((F, p_cap), -1, np.int16)
+                for i, (rows, local, b_idx) in enumerate(frames_data):
+                    loc_a[i, : len(local)] = local
+                _tp = _tick("loc_pack", _tp)
+                def _eval16(p, pv, lc, bx, bvv):
+                    bb, gid, pid = _evaluate_frame(p, pv, lc, bx, bvv, c_cap=c_cap)
+                    # local box ids < b_cap: int16 on the tunneled D2H wire
+                    return bb, gid.astype(jnp.int16), pid.astype(jnp.int16)
+
+                bb_a, gid_a, pid_a = jax.vmap(_eval16)(
+                    pts_d, pv_d, jnp.asarray(loc_a).astype(jnp.int32),
+                    box_d, bv_d)
+                for v in (bb_a, gid_a, pid_a):
+                    try:
+                        v.copy_to_host_async()
+                    except AttributeError:
+                        pass
                 bb_a, gid_a, pid_a = map(np.asarray, (bb_a, gid_a, pid_a))
-                for i, (pm, pts, local, b_idx) in enumerate(frames_data):
+                _tp = _tick("dispatch_d2h", _tp)
+                for i, (rows, local, b_idx) in enumerate(frames_data):
                     bb = bb_a[i][: len(b_idx)]
                     upd = bb > best_iou[b_idx]
                     best_iou[b_idx[upd]] = bb[upd]
-                    gid_np = gid_a[i][: len(pts)]
-                    pid_np = pid_a[i][: len(pts)]
-                    gt_box_id[pm] = np.where(gid_np >= 0, b_idx[np.clip(gid_np, 0, None)], -1)
-                    pred_box_id[pm] = np.where(pid_np >= 0, b_idx[np.clip(pid_np, 0, None)], -1)
+                    gid_np = gid_a[i][: len(local)]
+                    pid_np = pid_a[i][: len(local)]
+                    gt_box_id[rows] = np.where(gid_np >= 0, b_idx[np.clip(gid_np, 0, None)], -1)
+                    pred_box_id[rows] = np.where(pid_np >= 0, b_idx[np.clip(pid_np, 0, None)], -1)
 
+            _tp = _tick("drain", _tp)
             for t in range(num_traces):
                 tm = seq_boxes.trace_id == t
                 if tm.any():
@@ -376,6 +416,8 @@ class ClusterProposal:
             f"best_iou_after_{self.component_keys[-1]}", np.zeros(num_boxes, np.float32)
         )
         seq_dict["gt_trace_best_iou"] = trace_best
+        if os.environ.get("PCSEQ_PROF"):
+            print("EVAL_PROF", {k: round(v, 2) for k, v in _prof.items()}, flush=True)
         for k, v in results.items():
             seq_dict[k] = v
         return seq_dict

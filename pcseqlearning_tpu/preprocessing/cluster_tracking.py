@@ -254,7 +254,7 @@ class ClusterTracking:
         self.device_walk = bool(self.model_cfg.get("DEVICE_WALK", True))
 
     # ------------------------------------------------------------------
-    def track_frame(self, seq_points, frame, seq_boxes):
+    def track_frame(self, seq_points, frame, seq_boxes, seq_index=None):
         """Walk-mode dispatch. Default is the component-bucketed batched
         walk (tracking_batched.py): per-component [C, P] tiles whose ICP
         pyramid is batched MXU distance matrices — no gathers in the inner
@@ -272,9 +272,9 @@ class ClusterTracking:
             if n_cap * c_cap > budget:
                 return self.track_frame_host(seq_points, frame, seq_boxes)
             return self.track_frame_device(seq_points, frame, seq_boxes)
-        return self.track_frame_batched(seq_points, frame, seq_boxes)
+        return self.track_frame_batched(seq_points, frame, seq_boxes, seq_index)
 
-    def track_frame_batched(self, seq_points, frame, seq_boxes):
+    def track_frame_batched(self, seq_points, frame, seq_boxes, seq_index=None):
         """Component-bucketed walk (preprocessing/tracking_batched.py):
         packs each component's anchor points into a [C, P] tile, builds the
         [W, N] frame window, runs the batched walk, and converts outputs to
@@ -292,7 +292,10 @@ class ClusterTracking:
         max_n = len(frame.xyz)
         for w in range(W):
             fid = frame_id - self.track_interval + w
-            rows = np.nonzero(frames_arr == fid)[0]
+            if seq_index is not None:
+                rows = seq_index.rows(fid)
+            else:
+                rows = np.nonzero(frames_arr == fid)[0]
             frame_rows.append(rows)
             max_n = max(max_n, len(rows))
         n_cap = bucket_size(max_n)
@@ -414,7 +417,10 @@ class ClusterTracking:
         max_n = len(frame.xyz)
         for w in range(W):
             fid = frame_id - self.track_interval + w
-            rows = np.nonzero(frames_arr == fid)[0]
+            if seq_index is not None:
+                rows = seq_index.rows(fid)
+            else:
+                rows = np.nonzero(frames_arr == fid)[0]
             frame_rows.append(rows)
             max_n = max(max_n, len(rows))
         n_cap = bucket_size(max_n)
@@ -867,11 +873,18 @@ class ClusterTracking:
         from ..ops import pallas_scan
 
         claim_r = self.nn_radius * 1.732
+        from ..utils.frame_index import FrameIndex
+
+        ap_index = getattr(self, "_ap_index", None)
+        if ap_index is None or getattr(self, "_ap_index_key", None) != id(all_points):
+            ap_index = FrameIndex(all_points.frame)
+            self._ap_index = ap_index
+            self._ap_index_key = id(all_points)
         frames_info = []
         max_ref = max_box = 1
         for fid in np.unique(ex_frames):
             fb = seq_boxes.frame == fid
-            rm = all_points.frame == fid
+            rm = ap_index.rows(fid)
             ref_xyz = all_points.xyz[rm]
             if len(ref_xyz) == 0:
                 continue
@@ -1032,7 +1045,7 @@ class ClusterTracking:
             full.fxyz.append(fxyz_sel)
             full.component.append(comp_sel)
             full.segmentation_label.append(all_points.segmentation_label[rm][sel])
-            full.original_indices.append(np.nonzero(rm)[0][sel])
+            full.original_indices.append(rm[sel])
             full.moving.append(mov_by_comp[comp_sel])
 
             # ----- box IoU update (382-414), vectorized over components -----
@@ -1106,6 +1119,9 @@ class ClusterTracking:
             all_points = seq_points
 
         num_frames = int(frame.max()) + 1 if len(frame) else 0
+        from ..utils.frame_index import FrameIndex
+
+        seq_index = FrameIndex(frame)  # O(rows) per-frame lookups
         sequence_id = str(seq_dict.get("frame_id", "seq"))[:-4] or "seq"
         outfolder = os.path.join(self.model_cfg.DIR, sequence_id) if "DIR" in self.model_cfg else None
         if outfolder:
@@ -1138,8 +1154,8 @@ class ClusterTracking:
             seq_points.stationary = cc_diam[component] > 12.5 if C_all else np.zeros(len(frame), bool)
 
             for frame_id in range(0, num_frames, self.track_interval):
-                fm = frame == frame_id
-                if not fm.any():
+                fm = seq_index.rows(frame_id)
+                if not len(fm):
                     continue
                 fr = EDict(
                     xyz=seq_points.xyz[fm],
@@ -1147,12 +1163,12 @@ class ClusterTracking:
                     component=component[fm] - component[fm].min(),
                     stationary=seq_points.stationary[fm],
                     segmentation_label=seq_points.segmentation_label[fm],
-                    original_indices=np.nonzero(fm)[0],
+                    original_indices=fm,
                 )
                 import time as _time
 
                 _t0 = _time.time()
-                extracted = self.track_frame(seq_points, fr, seq_boxes)
+                extracted = self.track_frame(seq_points, fr, seq_boxes, seq_index)
                 print(f"[Timer] Tracking Frame {frame_id}: {_time.time() - _t0:.2f}s", flush=True)
                 if extracted is None or len(extracted.fxyz) == 0:
                     continue
