@@ -25,6 +25,29 @@ def _load(path):
     return c
 
 
+# What these tests check is cfg->registry wiring and that a forward produces
+# finite losses — NOT production capacity. Clamp the capacity/width knobs so
+# a single-CPU run stays compile- and flop-light (sst_centerpoint at its
+# shipped NUM_WINDOWS_CAP=4096 x WINDOW_CAP=144 x 6 blocks costs ~20 min on
+# this box); numeric fidelity is pinned elsewhere (test_backbone_variants,
+# test_models_*).
+_TEST_CAP_CLAMPS = {
+    "NUM_WINDOWS_CAP": 128,
+    "WINDOW_CAP": 16,
+    "WINDOW_SIZE": 4,
+    "NUM_KEYPOINTS": 256,
+    "DIM": 32,
+}
+
+
+def _clamp_caps(node):
+    for k, v in list(node.items()):
+        if isinstance(v, dict):
+            _clamp_caps(v)
+        elif k in _TEST_CAP_CLAMPS and isinstance(v, int):
+            node[k] = min(v, _TEST_CAP_CLAMPS[k])
+
+
 @pytest.mark.parametrize("path", MODEL_CFGS, ids=[os.path.basename(p) for p in MODEL_CFGS])
 def test_detector_cfg_builds_and_runs(path):
     import jax
@@ -36,6 +59,7 @@ def test_detector_cfg_builds_and_runs(path):
     c = _load(path)
     assert "MODEL" in c and "NAME" in c.MODEL, path
     assert c.MODEL.NAME in DETECTORS, f"{path} names unregistered detector {c.MODEL.NAME}"
+    _clamp_caps(c.MODEL)
 
     # tiny geometry so init compiles fast; the cfg's module topology is
     # what is under test
