@@ -183,6 +183,8 @@ class ClusterProposal:
 
     # -- proposal ----------------------------------------------------------
     def propose_cluster(self, seq_dict):
+        import time as _t
+        _t_start = _t.time()
         fxyz = np.asarray(seq_dict["point_fxyz"])
         frame = np.asarray(seq_dict["point_sweep"]).reshape(-1)
         n = fxyz.shape[0]
@@ -263,6 +265,9 @@ class ClusterProposal:
         for comp_key in self.component_keys:
             seq_dict[f"point_{comp_key}"] = components[comp_key]
             print(f"Cluster Proposal {comp_key}: num_components={totals[comp_key]}")
+        if os.environ.get("PCSEQ_PROF"):
+            print(f"PROPOSE_PROF {{'propose_total': {round(_t.time() - _t_start, 2)}}}",
+                  flush=True)
         return seq_dict
 
     # -- evaluation ---------------------------------------------------------

@@ -271,7 +271,7 @@ class ClusterTracking:
             budget = int(self.model_cfg.get("STEP_COMPILE_BUDGET", 1 << 21))
             if n_cap * c_cap > budget:
                 return self.track_frame_host(seq_points, frame, seq_boxes)
-            return self.track_frame_device(seq_points, frame, seq_boxes)
+            return self.track_frame_device(seq_points, frame, seq_boxes, seq_index)
         return self.track_frame_batched(seq_points, frame, seq_boxes, seq_index)
 
     def track_frame_batched(self, seq_points, frame, seq_boxes, seq_index=None):
@@ -399,7 +399,7 @@ class ClusterTracking:
         extracted.comp_edge_ratios = out["edge_ratios"][:num_components]
         return extracted
 
-    def track_frame_device(self, seq_points, frame, seq_boxes):
+    def track_frame_device(self, seq_points, frame, seq_boxes, seq_index=None):
         """One-dispatch tracking walk (preprocessing/tracking_device.py):
         builds the [W, N] frame window, runs the compiled walk, converts the
         outputs to the extracted-points format of the host walk."""
@@ -1199,6 +1199,15 @@ class ClusterTracking:
         )
         print(f"All Box mIoU={seq_boxes.best_iou.mean()}")
         print(f"Moving Box mIoU={moving_miou}")
+        if os.environ.get("PCSEQ_PROF"):
+            from . import tracking_batched as _tb
+
+            print("TRACK_PROF walk",
+                  {k: round(v, 2) for k, v in _tb.PROF.items()},
+                  "extract", {k: round(v, 2) for k, v in self._prof.items()},
+                  flush=True)
+            _tb.PROF.clear()
+            type(self)._prof = {}
         if outfolder:
             with open(outpath, "wb") as f:
                 pickle.dump({k: v for k, v in seq_boxes.items()}, f)

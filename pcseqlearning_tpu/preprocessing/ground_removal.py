@@ -656,7 +656,18 @@ class GroundPlaneRemover:
     def __init__(self, model_cfg, runtime_cfg=None):
         self.model_cfg = EDict(model_cfg)
 
+    _prof = {}
+
+    @classmethod
+    def _tick(cls, key, t0):
+        import time as _t
+
+        cls._prof[key] = cls._prof.get(key, 0.0) + (_t.time() - t0)
+        return _t.time()
+
     def _solve(self, pts_np, warmup=None):
+        import time as _t
+        _tp = _t.time()
         cfg = self.model_cfg
         # frame-agnostic 10cm grid subsample (preprocessor_utils.py:369).
         # Size the voxel table to the OCCUPIED count (host numpy unique is
@@ -678,6 +689,7 @@ class GroundPlaneRemover:
             print(f"Ground Removal: solve grid coarsened to {cell[0]:.2f} m "
                   f"({n_occ} cells; SOLVE_VOX_CAP={solve_cap})")
 
+        _tp = self._tick("count_vox", _tp)
         vox_cap = min(bucket_size(n_occ, base=4096), pts_np.shape[0])
 
         xy = pts_np[:, 1:3]
@@ -691,6 +703,7 @@ class GroundPlaneRemover:
         fxyz0_np = pts_np.astype(np.float32, copy=True)
         fxyz0_np[:, 0] = 0.0  # frame-agnostic subsample
         fxyz0 = jnp.asarray(fxyz0_np)
+        _tp = self._tick("h2d", _tp)
 
         if warmup is not None:
             vox = grid_utils.grid_sample_mean(fxyz0, list(cell), num_voxels_cap=vox_cap)
@@ -726,6 +739,7 @@ class GroundPlaneRemover:
                 tls_k=int(cfg.get("K", 8)),
                 cell=cell,
             ))
+        self._tick("solve_dispatch", _tp)
         return out.point_height, out.point_horizon, out.point_error, out.pillar_height, out.pillar_min_z
 
     def output_stats(self, segmentation_label, ground_mask, sequence_id, log_dir):
@@ -790,7 +804,10 @@ class GroundPlaneRemover:
         # D2H once: masks + the per-point arrays downstream reads as numpy
         # (the tunnel moves ~50 MB/s — transferring the f32 height once and
         # masking on host beats per-height device mask readbacks)
+        import time as _t
+        _tp = _t.time()
         point_height_np = np.asarray(point_height)
+        _tp = self._tick("d2h_height", _tp)
         heights = cfg.get("TRUNCATE_HEIGHT", [0.5])
         for h in heights:
             ground_mask = point_height_np < h
@@ -806,4 +823,9 @@ class GroundPlaneRemover:
             if key in seq_dict:
                 seq_dict[f"full_{key}"] = seq_dict[key]
                 seq_dict[key] = np.asarray(seq_dict[key])[keep]
+        self._tick("mask_filter", _tp)
+        if os.environ.get("PCSEQ_PROF"):
+            print("GROUND_PROF", {k: round(v, 2) for k, v in self._prof.items()},
+                  flush=True)
+            type(self)._prof = {}
         return seq_dict
