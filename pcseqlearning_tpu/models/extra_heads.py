@@ -285,9 +285,11 @@ class ImplicitReconstructionHead(nn.Module):
     dense_heads/implicit_reconstruction_head.py:13-215): a regular
     n^3-grid of perturbations around each point is classified
     occupied/empty from the point's latent feature + the offset; labels
-    come from proximity to the real cloud (a sample is occupied when a
-    lidar return lies within half the sampling radius — the TPU stand-in
-    for the reference's spherical-projection visibility test)."""
+    come from the reference's spherical-projection visibility test (each
+    sample matches its angularly-nearest lidar ray; it is occupied iff its
+    projection onto that ray lies at or beyond the return, with a
+    certainty that decays with the gap and the angular match distance —
+    compute_occupancy, reference 81-117 / forward 160-191)."""
 
     latent: Sequence[int] = (128, 64)
     num_samples_per_dim: int = 3
@@ -322,25 +324,60 @@ class ImplicitReconstructionHead(nn.Module):
         return batch_dict
 
     @staticmethod
-    def loss(batch_dict, radius=0.4):
-        """BCE against proximity-derived occupancy labels."""
+    def loss(batch_dict, radius=0.4, spherical_radius=0.04, certainty_decay=0.4):
+        """BCE against spherical-projection visibility labels (reference
+        compute_occupancy, implicit_reconstruction_head.py:81-117).
+
+        Each sample point is matched to the lidar return nearest in
+        (batch, polar, azimuth) space (the reference's k=1 spherical
+        radius graph, forward:174-179); the sample is OCCUPIED iff its
+        projection onto that ray is at or beyond the return's range rho.
+        The BCE is weighted by certainty = angular-match closeness x
+        range-gap decay, so samples far off every ray contribute nothing."""
         from ..ops.pallas_tpu import pair_min
 
         logits = batch_dict["rec_occupancy_logits"]  # [N, S]
         samples = batch_dict["rec_sample_xyz"]  # [N, S, 3]
         xyz = batch_dict["point_coords"][:, 1:4]
+        bidx = batch_dict["point_coords"][:, 0]
         n, S = logits.shape
         valid = batch_dict.get("point_valid", jnp.ones(n, bool))
-        # occupied iff a real point lies within radius/2 of the sample —
-        # one [1, N*S, ?] x [1, N, ?] fused min
-        fd, _, _, _ = pair_min(
-            samples.reshape(1, n * S, 3), xyz[None],
-            jnp.broadcast_to(valid[:, None], (n, S)).reshape(1, -1), valid[None],
+        sval = jnp.broadcast_to(valid[:, None], (n, S)).reshape(1, -1)
+
+        def sph(p):
+            rho = jnp.maximum(jnp.linalg.norm(p, axis=-1), 1e-4)
+            polar = jnp.arccos(jnp.clip(p[..., 2] / rho, -1.0, 1.0))
+            azimuth = jnp.arctan2(p[..., 1], p[..., 0])
+            return rho, polar, azimuth
+
+        rho, pol, az = sph(xyz)
+        flat_s = samples.reshape(n * S, 3)
+        _, spol, saz = sph(flat_s)
+        # batch separation rides the first channel (scaled far beyond any
+        # angular distance), exactly like the reference's [batch, polar,
+        # azimuth] spherical key
+        ref_key = jnp.stack([bidx * 1e3, pol, az], axis=-1)
+        q_key = jnp.stack(
+            [jnp.broadcast_to(bidx[:, None], (n, S)).reshape(-1) * 1e3, spol, saz],
+            axis=-1,
         )
-        occ = (fd.reshape(n, S) <= (radius / 2) ** 2).astype(logits.dtype)
-        w = valid[:, None].astype(logits.dtype)
+        fd, fj, _, _ = pair_min(q_key[None], ref_key[None], sval, valid[None])
+        sdist = jnp.sqrt(jnp.maximum(fd[0], 0.0))  # [N*S] angular distance
+        e_ref = jnp.clip(fj[0], 0, n - 1)
+        spherical_certainty = jnp.clip(spherical_radius - sdist, 0.0) / spherical_radius
+
+        lidar_dir = xyz[e_ref] / rho[e_ref][:, None]
+        proj_dist = jnp.abs(jnp.sum(flat_s * lidar_dir, axis=-1))
+        occ = (rho[e_ref] <= proj_dist).astype(logits.dtype).reshape(n, S)
+        gap = proj_dist - rho[e_ref]
+        certainty = (
+            jnp.clip(certainty_decay - gap, 0.0, certainty_decay) / certainty_decay
+            * spherical_certainty
+        ).reshape(n, S)
+
+        w = valid[:, None].astype(logits.dtype) * certainty
         bce = jnp.clip(logits, 0) - logits * occ + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w) , 1.0)
+        return jnp.sum(bce * w) / jnp.maximum(jnp.sum(valid.astype(logits.dtype)) * S, 1.0)
 
 
 class PointSequenceReconstructionHead(nn.Module):

@@ -199,32 +199,40 @@ class ClusterProposal:
 
         findex = FrameIndex(frame)
         pending = []
-        for comp_key, radius in zip(self.component_keys, self.radii):
-            for f0 in range(0, num_frames, self.chunk_frames):
-                m = findex.rows_range(f0, f0 + self.chunk_frames)
-                if not len(m):
-                    continue
-                pts = fxyz[m]
+        # chunks outer, radii inner: each chunk's padded point table is
+        # uploaded ONCE and shared by every radius (at reference scale the
+        # per-radius re-upload was ~27 MB x 21 chunks of duplicate H2D
+        # through the ~50 MB/s tunnel)
+        for f0 in range(0, num_frames, self.chunk_frames):
+            m = findex.rows_range(f0, f0 + self.chunk_frames)
+            if not len(m):
+                continue
+            pts = fxyz[m]
+            padded_d = valid_d = None
+            span = float((pts[:, 1:3].max(0) - pts[:, 1:3].min(0)).max()) \
+                if len(pts) else 1.0
+            for comp_key, radius in zip(self.component_keys, self.radii):
                 if self.num_shards > 1:
                     res = self._propose_chunk_sharded(pts, radius)
                     if res is not None:
                         pending.append((comp_key, m, pts.shape[0], res))
                         continue
-                cap = bucket_size(pts.shape[0])
-                padded, valid = pad_rows(pts.astype(np.float32), cap, fill=1e8)
+                if padded_d is None:
+                    cap = bucket_size(pts.shape[0])
+                    padded, valid = pad_rows(pts.astype(np.float32), cap, fill=1e8)
+                    padded_d, valid_d = jnp.asarray(padded), jnp.asarray(valid)
                 if use_pallas:
-                    span = float((pts[:, 1:3].max(0) - pts[:, 1:3].min(0)).max())
                     cells = int(np.ceil(span / radius)) + 3
                     XY = 1 << max(cells - 1, 1).bit_length()  # pow2 bucket
                     comp, num, ntrunc = _chunk_components_pallas(
-                        jnp.asarray(padded), jnp.asarray(valid), radius,
+                        padded_d, valid_d, radius,
                         self.cc_neighbors, F=self.chunk_frames, X=XY, Y=XY,
                         W=scan_w, Bq=256,
                     )
                 else:
                     ntrunc = None
                     comp, num = _chunk_components(
-                        jnp.asarray(padded), jnp.asarray(valid), radius,
+                        padded_d, valid_d, radius,
                         self.cc_neighbors, cell_cap=self.cc_cell_cap,
                     )
                 pending.append((comp_key, m, pts.shape[0], ("dense", comp, num, ntrunc)))

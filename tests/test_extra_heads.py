@@ -119,3 +119,26 @@ def test_ohem_losses(rng):
     r = ohem_reg_loss(jnp.ones((4, 2)), jnp.zeros((4, 2)),
                       jnp.asarray([0.0, 0.4, 1.0, 3.0]), {0.3: 2.0, 2.0: 5.0})
     assert abs(float(r) - np.mean([1, 2, 2, 5])) < 1e-5
+
+
+def test_implicit_recon_visibility_labels():
+    """Pin the spherical-projection occupancy semantics (reference
+    compute_occupancy, implicit_reconstruction_head.py:81-117): a sample
+    IN FRONT of its matched return (projection < rho) is free (label 0); a
+    sample AT/BEYOND the return is occupied (label 1)."""
+    import jax.numpy as jnp
+    from pcseqlearning_tpu.models.extra_heads import ImplicitReconstructionHead
+
+    bd_base = {
+        "point_coords": jnp.asarray([[0.0, 10.0, 0.0, 0.0]]),  # rho = 10
+        "point_valid": jnp.ones(1, bool),
+        # sample 0 in front of the return (proj 9 < 10 -> free),
+        # sample 1 just beyond it (proj 10.1 >= 10 -> occupied)
+        "rec_sample_xyz": jnp.asarray([[[9.0, 0.0, 0.0], [10.1, 0.0, 0.0]]]),
+    }
+    right = dict(bd_base, rec_occupancy_logits=jnp.asarray([[-8.0, 8.0]]))
+    wrong = dict(bd_base, rec_occupancy_logits=jnp.asarray([[8.0, -8.0]]))
+    l_right = float(ImplicitReconstructionHead.loss(right))
+    l_wrong = float(ImplicitReconstructionHead.loss(wrong))
+    assert l_right < 1e-3, l_right
+    assert l_wrong > 1.0, l_wrong
