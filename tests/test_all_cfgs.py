@@ -35,8 +35,10 @@ _TEST_CAP_CLAMPS = {
     "NUM_WINDOWS_CAP": 128,
     "WINDOW_CAP": 16,
     "WINDOW_SIZE": 4,
-    "NUM_KEYPOINTS": 256,
+    "NUM_KEYPOINTS": 128,
     "DIM": 32,
+    "POINT_CAP": 2048,
+    "VOXEL_CAP": 2048,
 }
 
 
