@@ -198,17 +198,23 @@ class ClusterProposal:
         from ..utils.frame_index import FrameIndex
 
         findex = FrameIndex(frame)
+        # when the sequence is frame-sorted, the whole point table rides
+        # ONE device upload and every chunk is an on-device slice of it
+        # (utils/device_seq.py) — the per-chunk host pad+H2D path is kept
+        # as the fallback for unsorted layouts
+        from ..utils.device_seq import get_device_seq
+
+        ds = get_device_seq(seq_dict, fxyz, frame) if self.num_shards <= 1 else None
         pending = []
         # chunks outer, radii inner: each chunk's padded point table is
-        # uploaded ONCE and shared by every radius (at reference scale the
-        # per-radius re-upload was ~27 MB x 21 chunks of duplicate H2D
-        # through the ~50 MB/s tunnel)
+        # uploaded/sliced ONCE and shared by every radius
         for f0 in range(0, num_frames, self.chunk_frames):
             m = findex.rows_range(f0, f0 + self.chunk_frames)
             if not len(m):
                 continue
             pts = fxyz[m]
             padded_d = valid_d = None
+            off = 0
             span = float((pts[:, 1:3].max(0) - pts[:, 1:3].min(0)).max()) \
                 if len(pts) else 1.0
             for comp_key, radius in zip(self.component_keys, self.radii):
@@ -218,9 +224,14 @@ class ClusterProposal:
                         pending.append((comp_key, m, pts.shape[0], res))
                         continue
                 if padded_d is None:
-                    cap = bucket_size(pts.shape[0])
-                    padded, valid = pad_rows(pts.astype(np.float32), cap, fill=1e8)
-                    padded_d, valid_d = jnp.asarray(padded), jnp.asarray(valid)
+                    if ds is not None:
+                        padded_d, valid_d, length, off = ds.chunk(
+                            f0, f0 + self.chunk_frames)
+                        assert length == pts.shape[0], (length, pts.shape)
+                    else:
+                        cap = bucket_size(pts.shape[0])
+                        padded, valid = pad_rows(pts.astype(np.float32), cap, fill=1e8)
+                        padded_d, valid_d = jnp.asarray(padded), jnp.asarray(valid)
                 if use_pallas:
                     cells = int(np.ceil(span / radius)) + 3
                     XY = 1 << max(cells - 1, 1).bit_length()  # pow2 bucket
@@ -235,7 +246,8 @@ class ClusterProposal:
                         padded_d, valid_d, radius,
                         self.cc_neighbors, cell_cap=self.cc_cell_cap,
                     )
-                pending.append((comp_key, m, pts.shape[0], ("dense", comp, num, ntrunc)))
+                pending.append((comp_key, m, pts.shape[0],
+                                ("dense", comp, num, ntrunc, off)))
 
         # start every chunk's D2H before blocking on any (each blocking
         # read through the tunneled TPU pays a full round-trip latency)
@@ -263,8 +275,8 @@ class ClusterProposal:
                           f"{int(np.asarray(ntrunc).sum())} halo points truncated "
                           f"at HALO_CAP={self.halo_cap}")
                 continue
-            _, comp, num, ntrunc = payload
-            components[comp_key][m] = np.asarray(comp)[:n_pts] + totals[comp_key]
+            _, comp, num, ntrunc, off = payload
+            components[comp_key][m] = np.asarray(comp)[off: off + n_pts] + totals[comp_key]
             totals[comp_key] += int(num)
             if ntrunc is not None and int(ntrunc) > 0:
                 print(f"Cluster Proposal {comp_key}: WARNING "
@@ -325,9 +337,11 @@ class ClusterProposal:
         # ~660 MB — re-uploading it per key through the ~50 MB/s tunnel was
         # most of evaluate_proposal's wall time)
         _tp = _t.time()
+        from ..utils.device_seq import get_device_seq
         from ..utils.frame_index import FrameIndex
 
         findex = FrameIndex(frame)
+        ds = get_device_seq(seq_dict, fxyz, frame)
         frames_geo = []
         p_cap = b_cap = 1
         for fid in range(num_frames):
@@ -343,17 +357,26 @@ class ClusterProposal:
         b_cap = bucket_size(b_cap, base=32)
         F = len(frames_geo)
         if F:
-            pts_a = np.full((F, p_cap, 3), 1e8, np.float32)
-            pv_a = np.zeros((F, p_cap), bool)
+            if ds is not None:
+                # frame geometry gathered from the resident table — no H2D
+                tab, tval, p_cap = ds.frame_table()
+                sel = jnp.asarray(
+                    np.asarray([fg[0] for fg in frames_geo], np.int32))
+                pts_d = tab[sel][..., 1:4]
+                pv_d = tval[sel]
             box_a = np.zeros((F, b_cap, 7), np.float32)
             bv_a = np.zeros((F, b_cap), bool)
             for i, (fid, rows, b_idx) in enumerate(frames_geo):
-                npx = len(rows)
-                pts_a[i, :npx] = fxyz[rows, 1:4]
-                pv_a[i, :npx] = True
                 box_a[i, : len(b_idx)] = seq_boxes.attr[b_idx]
                 bv_a[i, : len(b_idx)] = True
-            pts_d, pv_d = jnp.asarray(pts_a), jnp.asarray(pv_a)
+            if ds is None:
+                pts_a = np.full((F, p_cap, 3), 1e8, np.float32)
+                pv_a = np.zeros((F, p_cap), bool)
+                for i, (fid, rows, b_idx) in enumerate(frames_geo):
+                    npx = len(rows)
+                    pts_a[i, :npx] = fxyz[rows, 1:4]
+                    pv_a[i, :npx] = True
+                pts_d, pv_d = jnp.asarray(pts_a), jnp.asarray(pv_a)
             box_d, bv_d = jnp.asarray(box_a), jnp.asarray(bv_a)
         _tp = _tick("geo_pack", _tp)
 

@@ -298,23 +298,40 @@ class ClusterTracking:
                 rows = np.nonzero(frames_arr == fid)[0]
             frame_rows.append(rows)
             max_n = max(max_n, len(rows))
-        n_cap = bucket_size(max_n)
-        window_xyz = np.full((W, n_cap, 3), 1e8, np.float32)
-        window_valid = np.zeros((W, n_cap), bool)
-        window_stat = np.zeros((W, n_cap), bool)
-        for w, rows in enumerate(frame_rows):
-            n = len(rows)
-            window_xyz[w, :n] = seq_points.xyz[rows]
-            window_valid[w, :n] = True
-            window_stat[w, :n] = seq_points.stationary[rows]
         anchor_slot = self.track_interval
         na = len(frame.xyz)
-        window_xyz[anchor_slot] = 1e8
-        window_valid[anchor_slot] = False
-        window_stat[anchor_slot] = False
-        window_xyz[anchor_slot, :na] = frame.xyz
-        window_valid[anchor_slot, :na] = True
-        window_stat[anchor_slot, :na] = frame.stationary
+        ds = getattr(self, "_ds", None)
+        if ds is not None and getattr(self, "_stat_tab", None) is not None:
+            # window tables sliced from the resident sequence table: per
+            # tracked frame this replaces a [W, n_cap] host pack + H2D
+            # (~18 MB/frame at reference scale) with one device gather.
+            # The anchor slot needs no override: its table rows ARE
+            # frame.xyz (same sequence rows, same order).
+            tab, tval, n_cap = ds.frame_table()
+            fids = np.arange(frame_id - self.track_interval,
+                             frame_id + self.track_interval + 1)
+            in_rng = (fids >= 0) & (fids < ds.num_frames)
+            sel = jnp.asarray(np.clip(fids, 0, ds.num_frames - 1).astype(np.int32))
+            window_valid = tval[sel] & jnp.asarray(in_rng)[:, None]
+            window_xyz = jnp.where(
+                window_valid[..., None], tab[sel][..., 1:4], 1e8)
+            window_stat = self._stat_tab[sel] & window_valid
+        else:
+            n_cap = bucket_size(max_n)
+            window_xyz = np.full((W, n_cap, 3), 1e8, np.float32)
+            window_valid = np.zeros((W, n_cap), bool)
+            window_stat = np.zeros((W, n_cap), bool)
+            for w, rows in enumerate(frame_rows):
+                n = len(rows)
+                window_xyz[w, :n] = seq_points.xyz[rows]
+                window_valid[w, :n] = True
+                window_stat[w, :n] = seq_points.stationary[rows]
+            window_xyz[anchor_slot] = 1e8
+            window_valid[anchor_slot] = False
+            window_stat[anchor_slot] = False
+            window_xyz[anchor_slot, :na] = frame.xyz
+            window_valid[anchor_slot, :na] = True
+            window_stat[anchor_slot, :na] = frame.stationary
 
         C = bucket_size(num_components, base=64)
         deg = np.bincount(frame.component, minlength=C).astype(np.float32)[:C]
@@ -349,6 +366,7 @@ class ClusterTracking:
         out = track_window_batched(
             window_xyz, window_valid, window_stat, comp_xyz, comp_pmask,
             comp_valid0, diam, deg,
+            frame_nonempty=np.asarray([len(r) > 0 for r in frame_rows]),
             interval=self.track_interval, levels=levels, num_candidates=Q,
             nn_radius=self.nn_radius, angle_regularizer=self.angle_regularizer,
             reg_error_coeff=self.reg_error_coeff,
@@ -1119,9 +1137,14 @@ class ClusterTracking:
             all_points = seq_points
 
         num_frames = int(frame.max()) + 1 if len(frame) else 0
+        from ..utils.device_seq import get_device_seq
         from ..utils.frame_index import FrameIndex
 
         seq_index = FrameIndex(frame)  # O(rows) per-frame lookups
+        # shared device-resident sequence table (built by proposal if it
+        # ran on the same filtered array; else uploaded once here)
+        self._ds = get_device_seq(seq_dict, fxyz, frame)
+        self._stat_tab = None
         sequence_id = str(seq_dict.get("frame_id", "seq"))[:-4] or "seq"
         outfolder = os.path.join(self.model_cfg.DIR, sequence_id) if "DIR" in self.model_cfg else None
         if outfolder:
@@ -1152,6 +1175,10 @@ class ClusterTracking:
                 cc_diam *= 2
             seq_points.component = component
             seq_points.stationary = cc_diam[component] > 12.5 if C_all else np.zeros(len(frame), bool)
+            self._stat_tab = (
+                self._ds.aux_frame_table(seq_points.stationary)
+                if self._ds is not None else None
+            )
 
             for frame_id in range(0, num_frames, self.track_interval):
                 fm = seq_index.rows(frame_id)

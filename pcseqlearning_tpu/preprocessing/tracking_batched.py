@@ -441,7 +441,7 @@ def track_window_batched(
     interval, levels, num_candidates,
     nn_radius, angle_regularizer, reg_error_coeff, angle_threshold_deg,
     min_move_frame, max_icp_iter=80, sel_margin=6.0,
-    comp_ext=None, ext_mask=None,
+    comp_ext=None, ext_mask=None, frame_nonempty=None,
 ):
     """Host-driven walk over the compiled batched step (both directions).
 
@@ -487,7 +487,8 @@ def track_window_batched(
         reach_min=jnp.full((C,), anchor_pos, jnp.int32),
         reach_max=jnp.full((C,), anchor_pos, jnp.int32),
     )
-    frame_nonempty = np.asarray(window_valid).any(axis=1)
+    if frame_nonempty is None:
+        frame_nonempty = np.asarray(window_valid).any(axis=1)
 
     moving_final = jnp.ones((C,), bool) & comp_valid0
     for track_dir in (-1, 1):

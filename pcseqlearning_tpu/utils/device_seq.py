@@ -1,0 +1,158 @@
+"""Device-resident sequence point table shared across pipeline stages.
+
+At reference scale (210 sweeps x ~35M points) every extraction stage used
+to re-upload views of the same sequence through the tunneled TPU link
+(~50 MB/s): proposal chunk tables, evaluation frame geometry, tracking
+window packs — ~1-2 GB of duplicate H2D per steady pass. This module
+uploads the (frame-sorted) flat [N, 4] table ONCE and serves every
+downstream layout as a jitted on-device slice/gather:
+
+  * ``chunk(f0, f1, cap)``      -> padded [cap, 4] + valid (proposal CC)
+  * ``frame_table(p_cap)``      -> [F, p_cap, 4] + valid (evaluation,
+                                   tracking windows); built on device from
+                                   the flat table, cached
+
+Only activates when the host array is frame-sorted (the standard
+concatenated layout — FrameIndex's fast path); callers fall back to the
+host pack path otherwise.
+
+TPU-native counterpart of the reference's implicit GPU residency: torch
+keeps the sequence tensor on device across the whole forward
+(/root/reference/pcdet/models/registration/simple_reg.py:103-157), which a
+host-orchestrated JAX pipeline must reproduce explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .padding import bucket_size
+
+
+@functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=())
+def _slice_rows(flat, cstart, off, length, cap):
+    """[cap, 4] window of the flat table whose rows
+    [cstart+off, cstart+off+length) are the live span (slots
+    [off, off+length)); everything else masked to the 1e8 sentinel.
+    ``cstart``/``off`` are precomputed on host so no traced value needs a
+    readback (dynamic_slice would clamp near the table end, shifting the
+    window — the host accounts for that shift in ``off``)."""
+    win = jax.lax.dynamic_slice(flat, (cstart, 0), (cap, flat.shape[1]))
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = (iota >= off) & (iota < off + length)
+    win = jnp.where(valid[:, None], win, 1e8)
+    return win, valid
+
+
+@functools.partial(jax.jit, static_argnames=("F", "p_cap"))
+def _frame_table(flat, starts, counts, F, p_cap):
+    """[F, p_cap, 4] per-frame table gathered from the flat sorted array.
+
+    Rows beyond a frame's count read the sentinel; gather indices are
+    clamped in-range so the single [F*p_cap] row gather stays defined."""
+    n = flat.shape[0]
+    iota = jnp.arange(p_cap, dtype=jnp.int32)[None, :]
+    rows = starts[:F, None] + iota  # [F, p_cap]
+    valid = iota < counts[:F, None]
+    rows = jnp.clip(rows, 0, n - 1)
+    tab = flat[rows.reshape(-1)].reshape(F, p_cap, flat.shape[1])
+    tab = jnp.where(valid[..., None], tab, 1e8)
+    return tab, valid
+
+
+@functools.partial(jax.jit, static_argnames=("F", "p_cap"))
+def _aux_frame_table(flat, starts, counts, F, p_cap):
+    n = flat.shape[0]
+    iota = jnp.arange(p_cap, dtype=jnp.int32)[None, :]
+    rows = starts[:F, None] + iota
+    valid = iota < counts[:F, None]
+    rows = jnp.clip(rows, 0, n - 1)
+    tab = flat[rows.reshape(-1)].reshape(F, p_cap)
+    return jnp.where(valid, tab, jnp.zeros((), flat.dtype))
+
+
+class DeviceSeq:
+    """One H2D upload; every stage layout is an on-device view."""
+
+    def __init__(self, fxyz_np, frame_np):
+        frame = np.asarray(frame_np).reshape(-1)
+        self.ok = len(frame) > 0 and bool((np.diff(frame) >= 0).all())
+        self._host_id = id(fxyz_np)
+        self.n = len(frame)
+        if not self.ok:
+            return
+        fids, counts = np.unique(frame, return_counts=True)
+        self.num_frames = int(fids[-1]) + 1
+        self.counts = np.zeros(self.num_frames + 1, np.int64)
+        self.counts[fids] = counts
+        self.starts = np.concatenate([[0], np.cumsum(self.counts[:-1])])
+        n_pad = bucket_size(self.n)
+        flat = np.full((n_pad, 4), 1e8, np.float32)
+        flat[: self.n] = np.asarray(fxyz_np, np.float32)
+        self.flat = jnp.asarray(flat)
+        self._starts_d = jnp.asarray(self.starts.astype(np.int32))
+        self._counts_d = jnp.asarray(self.counts.astype(np.int32))
+        self._ft_cache = {}
+
+    def matches(self, fxyz_np):
+        return self.ok and id(fxyz_np) == self._host_id
+
+    def chunk(self, f0, f1):
+        """Device ([cap, 4], valid) for frames [f0, f1) plus host ints
+        (length, off): the chunk's rows occupy slots [off, off+length) of
+        the window (off is 0 except near the table end)."""
+        f1 = min(f1, self.num_frames)
+        start = int(self.starts[f0])
+        length = int(self.starts[f1] - self.starts[f0]) if f1 > f0 else 0
+        cap = bucket_size(max(length, 1))
+        n_pad = self.flat.shape[0]
+        cstart = min(start, max(n_pad - cap, 0))
+        off = start - cstart
+        win, valid = _slice_rows(
+            self.flat, jnp.asarray(cstart, jnp.int32),
+            jnp.asarray(off, jnp.int32), jnp.asarray(length, jnp.int32), cap,
+        )
+        return win, valid, length, off
+
+    def frame_table(self, p_cap=None):
+        """Device ([F, p_cap, 4], [F, p_cap] valid), cached per p_cap."""
+        if p_cap is None:
+            p_cap = bucket_size(int(self.counts.max()) if self.n else 1)
+        if p_cap not in self._ft_cache:
+            self._ft_cache[p_cap] = _frame_table(
+                self.flat, self._starts_d, self._counts_d,
+                self.num_frames, p_cap,
+            )
+        return self._ft_cache[p_cap] + (p_cap,)
+
+    def aux_frame_table(self, vals_np, p_cap=None):
+        """Per-frame [F, p_cap] view of a per-point host array (e.g. the
+        stationary flags): ONE flat upload + the same on-device gather as
+        frame_table. Pad slots read False/0."""
+        if p_cap is None:
+            p_cap = bucket_size(int(self.counts.max()) if self.n else 1)
+        vals_np = np.asarray(vals_np)
+        flat = np.zeros(self.flat.shape[0], vals_np.dtype)
+        flat[: self.n] = vals_np
+        return _aux_frame_table(
+            jnp.asarray(flat), self._starts_d, self._counts_d,
+            self.num_frames, p_cap,
+        )
+
+
+def get_device_seq(seq_dict, fxyz_np, frame_np):
+    """Fetch-or-build the shared DeviceSeq for this (filtered) sequence.
+
+    Stored in seq_dict under ``_dev_seq`` keyed by the host array identity;
+    returns None when the layout is not frame-sorted (callers use their
+    host pack path)."""
+    ds = seq_dict.get("_dev_seq")
+    if ds is not None and ds.matches(fxyz_np):
+        return ds if ds.ok else None
+    ds = DeviceSeq(fxyz_np, frame_np)
+    seq_dict["_dev_seq"] = ds
+    return ds if ds.ok else None
