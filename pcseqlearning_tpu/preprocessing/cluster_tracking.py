@@ -348,16 +348,33 @@ class ClusterTracking:
         P = int(self.model_cfg.get("TRACK_POINTS_PER_COMPONENT", 256))
         P_ext = int(self.model_cfg.get("TRACK_EXTRACT_POINTS", 512))
         Q = min(int(self.model_cfg.get("TRACK_NUM_CANDIDATES", 512)), n_cap)
-        comp_xyz, comp_pmask = pack_components(
-            frame.xyz.astype(np.float32), frame.component,
-            ~frame.stationary, C, P,
-        )
-        # denser tile for member-point extraction (all anchor points incl.
-        # stationary-flagged ones, like the host walk's NN source)
-        comp_ext, ext_mask = pack_components(
-            frame.xyz.astype(np.float32), frame.component,
-            np.ones(len(frame.xyz), bool), C, P_ext,
-        )
+        if ds is not None and getattr(self, "_stat_tab", None) is not None:
+            # tiles packed ON DEVICE from the anchor slot of the resident
+            # window (upload = one [n_cap] int32 comp-id vector instead of
+            # two [C, P(,3)] tiles, ~19 MB/frame at reference scale)
+            from .tracking_batched import pack_components_device
+
+            comp_p = np.full(n_cap, -1, np.int32)
+            comp_p[:na] = frame.component
+            comp_d = jnp.asarray(comp_p)
+            a_xyz = window_xyz[anchor_slot]
+            a_valid = window_valid[anchor_slot]
+            a_stat = window_stat[anchor_slot]
+            comp_xyz, comp_pmask = pack_components_device(
+                a_xyz, comp_d, a_valid & ~a_stat, C, P)
+            comp_ext, ext_mask = pack_components_device(
+                a_xyz, comp_d, a_valid, C, P_ext)
+        else:
+            comp_xyz, comp_pmask = pack_components(
+                frame.xyz.astype(np.float32), frame.component,
+                ~frame.stationary, C, P,
+            )
+            # denser tile for member-point extraction (all anchor points
+            # incl. stationary-flagged ones, like the host walk's NN source)
+            comp_ext, ext_mask = pack_components(
+                frame.xyz.astype(np.float32), frame.component,
+                np.ones(len(frame.xyz), bool), C, P_ext,
+            )
 
         levels = tuple(
             (float(v[0]), float(v[1]), float(v[2]), float(r), float(sd))

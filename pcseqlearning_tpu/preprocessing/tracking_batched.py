@@ -88,6 +88,42 @@ def pack_components(xyz, component, keep_mask, num_components, P):
     return comp_xyz, comp_mask
 
 
+@functools.partial(jax.jit, static_argnames=("C", "P"))
+def pack_components_device(xyz, comp, keep, C, P):
+    """Device twin of pack_components: [K] anchor rows -> [C, P, 3] tiles.
+
+    Same stride-subsample semantics (components larger than P keep every
+    ceil(cnt/P)-th point in original order); runs on the resident frame
+    table so the per-tracked-frame [C, P, 3] host pack + H2D disappears.
+    """
+    K = xyz.shape[0]
+    ok = keep & (comp >= 0) & (comp < C)
+    skey = jnp.where(ok, comp, C).astype(jnp.int32)
+    iota = jnp.arange(K, dtype=jnp.int32)
+    skey_s, idx_s = jax.lax.sort((skey, iota), num_keys=1)  # stable
+    xyz_s = xyz[idx_s]
+    ok_s = skey_s < C
+    # position within the component: iota - start-of-segment (running max
+    # of first-occurrence positions)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), skey_s[1:] != skey_s[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, iota, -1))
+    pos = iota - seg_start
+    cnt = jax.ops.segment_sum(
+        ok_s.astype(jnp.int32), jnp.where(ok_s, skey_s, C), num_segments=C + 1
+    )[:C]
+    stride = jnp.maximum(1, -(-cnt // P))  # ceil(cnt / P) per component
+    st = stride[jnp.clip(skey_s, 0, C - 1)]
+    slot = pos // st
+    sel = ok_s & (pos % st == 0) & (slot < P)
+    flat = jnp.where(sel, jnp.clip(skey_s, 0, C - 1) * P + slot, C * P)
+    tile = jnp.zeros((C * P + 1, 3), xyz.dtype).at[flat].set(
+        jnp.where(sel[:, None], xyz_s, 0.0))[: C * P]
+    mask = jnp.zeros(C * P + 1, bool).at[flat].set(sel)[: C * P]
+    return tile.reshape(C, P, 3), mask.reshape(C, P)
+
+
 # ---------------------------------------------------------------------------
 # jitted pieces
 # ---------------------------------------------------------------------------

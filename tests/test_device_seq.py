@@ -79,3 +79,34 @@ def test_unsorted_layout_falls_back():
     sd = {}
     ds = get_device_seq(sd, fxyz, frame)
     assert ds is not None and get_device_seq(sd, fxyz, frame) is ds
+
+
+def test_pack_components_device_matches_host():
+    import jax.numpy as jnp
+
+    from pcseqlearning_tpu.preprocessing.tracking_batched import (
+        pack_components, pack_components_device)
+
+    rng = np.random.RandomState(3)
+    n, C, P = 500, 8, 16
+    xyz = rng.rand(n, 3).astype(np.float32) * 10
+    comp = rng.randint(0, C, n)
+    keep = rng.rand(n) > 0.3
+    h_xyz, h_mask = pack_components(xyz, comp, keep, C, P)
+    d_xyz, d_mask = pack_components_device(
+        jnp.asarray(xyz), jnp.asarray(comp.astype(np.int32)),
+        jnp.asarray(keep), C, P)
+    np.testing.assert_array_equal(np.asarray(d_mask), h_mask)
+    np.testing.assert_allclose(np.asarray(d_xyz), h_xyz, atol=0)
+    # padded rows arrive as comp=-1 AND keep=False in the device path —
+    # they must match the host pack over the kept subset
+    comp2 = comp.copy()
+    keep2 = keep.copy()
+    comp2[:100] = -1
+    keep2[:100] = False
+    h_xyz2, h_mask2 = pack_components(xyz, np.clip(comp2, 0, None), keep2, C, P)
+    d_xyz2, d_mask2 = pack_components_device(
+        jnp.asarray(xyz), jnp.asarray(comp2.astype(np.int32)),
+        jnp.asarray(keep2), C, P)
+    np.testing.assert_array_equal(np.asarray(d_mask2), h_mask2)
+    np.testing.assert_allclose(np.asarray(d_xyz2), h_xyz2, atol=0)
