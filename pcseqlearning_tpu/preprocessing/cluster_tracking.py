@@ -858,16 +858,29 @@ class ClusterTracking:
             return self._ftab
         fr = all_points.frame
         uniq = np.unique(fr)
+        ds_all = getattr(self, "_ds_all", None)
+        if ds_all is not None and ds_all.ok and ds_all.n == len(fr):
+            # the ground stage left a device-compacted height>0 table —
+            # the per-frame view is an on-device gather, zero H2D
+            n_cap = bucket_size(max(int(ds_all.counts.max()), 1))
+            if ds_all.num_frames * n_cap * 16 <= 4e9:
+                tab, tval, n_cap = ds_all.frame_table(n_cap)
+                self._ftab = ({int(f): int(f) for f in uniq}, tab, tval, n_cap)
+                self._ftab_key = key
+                return self._ftab
+        from ..utils.frame_index import FrameIndex
+
+        findex = FrameIndex(fr)
         n_cap = bucket_size(max(int(np.bincount(fr - fr.min()).max()), 1))
         if len(uniq) * n_cap * 16 > 4e9:  # cap device residency at ~4 GB
             return None
         qx = np.full((len(uniq), n_cap, 4), 1e8, np.float32)
         qv = np.zeros((len(uniq), n_cap), bool)
         for i, fid in enumerate(uniq):
-            m = fr == fid
-            nr = int(m.sum())
+            rows = findex.rows(fid)
+            nr = len(rows)
             qx[i, :nr, 0] = fid
-            qx[i, :nr, 1:4] = all_points.xyz[m]
+            qx[i, :nr, 1:4] = all_points.xyz[rows]
             qv[i, :nr] = True
         self._ftab = ({int(f): i for i, f in enumerate(uniq)},
                       jnp.asarray(qx), jnp.asarray(qv), n_cap)
@@ -1162,6 +1175,9 @@ class ClusterTracking:
         # ran on the same filtered array; else uploaded once here)
         self._ds = get_device_seq(seq_dict, fxyz, frame)
         self._stat_tab = None
+        # height>0 full-res table from the ground stage (extraction claims)
+        self._ds_all = seq_dict.get("_dev_seq_all")
+        self._ftab_key = None
         sequence_id = str(seq_dict.get("frame_id", "seq"))[:-4] or "seq"
         outfolder = os.path.join(self.model_cfg.DIR, sequence_id) if "DIR" in self.model_cfg else None
         if outfolder:

@@ -628,21 +628,30 @@ def _solve_outputs_jit(vox_bxyz, pillar_idx, min_z, height):
     )
 
 
-def _count_occupied_voxels(point_fxyz, cell=(0.10, 0.10, 0.03)):
-    """Distinct 0.10x0.10x0.03 cells, counted on HOST numpy.
+def _occupied_voxel_keys(point_fxyz, cell=(0.10, 0.10, 0.03)):
+    """Distinct packed cell keys at ``cell`` resolution, on HOST numpy.
 
     Used only to size the voxel table. This deliberately does NOT run on
     device: the axon relay pays a multi-second (sometimes minutes-long,
     queue-dependent) server-side finalization the first time each
     executable runs, so every program removed from the bench path is
-    direct warmup savings — and a packed-int64 np.unique on ~2M rows is
-    ~0.2s on host anyway."""
+    direct warmup savings."""
     pts = np.asarray(point_fxyz)
     xyz = pts[:, 1:4].astype(np.float64)
     inv = 1.0 / np.asarray(cell, np.float64)
     c = np.floor((xyz - xyz.min(axis=0)) * inv).astype(np.int64)
     key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]  # each axis < 2^21
-    return len(np.unique(key))
+    return np.unique(key)
+
+
+def _coarsen_keys(keys):
+    """Halve the grid resolution of packed keys WITHOUT revisiting the
+    point array: each axis floor-divides by 2 in packed space. At
+    reference scale this turns the solve-grid budget loop from repeated
+    35M-row np.unique passes (~3-5 s each) into ~n_occ-row passes."""
+    M = (1 << 21) - 1
+    cx, cy, cz = keys >> 42, (keys >> 21) & M, keys & M
+    return np.unique(((cx >> 1) << 42) | ((cy >> 1) << 21) | (cz >> 1))
 
 
 class GroundPlaneRemover:
@@ -681,10 +690,12 @@ class GroundPlaneRemover:
         # until it fits a fixed budget; per-point heights stay full-res
         solve_cap = int(cfg.get("SOLVE_VOX_CAP", 1 << 21))
         cell = (0.10, 0.10, 0.03)
-        n_occ = _count_occupied_voxels(pts_np, cell)
+        keys = _occupied_voxel_keys(pts_np, cell)
+        n_occ = len(keys)
         while n_occ > solve_cap:
             cell = tuple(c * 2.0 for c in cell)
-            n_occ = _count_occupied_voxels(pts_np, cell)
+            keys = _coarsen_keys(keys)
+            n_occ = len(keys)
         if cell != (0.10, 0.10, 0.03):
             print(f"Ground Removal: solve grid coarsened to {cell[0]:.2f} m "
                   f"({n_occ} cells; SOLVE_VOX_CAP={solve_cap})")
@@ -700,9 +711,20 @@ class GroundPlaneRemover:
         # bucket to multiples of 8 to bound recompilation
         dims = (int(np.ceil(dims[0] / 8) * 8), int(np.ceil(dims[1] / 8) * 8))
 
-        fxyz0_np = pts_np.astype(np.float32, copy=True)
-        fxyz0_np[:, 0] = 0.0  # frame-agnostic subsample
-        fxyz0 = jnp.asarray(fxyz0_np)
+        # the raw sequence upload doubles as the pipeline's resident table:
+        # downstream stages get device-COMPACTED views (utils/device_seq)
+        # instead of re-uploading filtered copies through the tunnel
+        from ..utils.device_seq import DeviceSeq
+
+        ds_raw = DeviceSeq(pts_np, pts_np[:, 0].astype(np.int64))
+        if ds_raw.ok:
+            n = pts_np.shape[0]
+            fxyz0 = ds_raw.flat[:n].at[:, 0].set(0.0)  # frame-agnostic
+        else:
+            fxyz0_np = pts_np.astype(np.float32, copy=True)
+            fxyz0_np[:, 0] = 0.0
+            fxyz0 = jnp.asarray(fxyz0_np)
+        self._ds_raw = ds_raw if ds_raw.ok else None
         _tp = self._tick("h2d", _tp)
 
         if warmup is not None:
@@ -823,6 +845,28 @@ class GroundPlaneRemover:
             if key in seq_dict:
                 seq_dict[f"full_{key}"] = seq_dict[key]
                 seq_dict[key] = np.asarray(seq_dict[key])[keep]
+
+        # hand the downstream stages device-compacted resident tables:
+        # the TRUNCATE_HEIGHT-filtered main table (proposal + tracking
+        # walk) and the height>0 full-res table (tracking extraction's
+        # all_points, cluster_tracking.py keep = f_height > 0.0). Both are
+        # on-device compactions of the raw upload — zero extra H2D.
+        ds_raw = getattr(self, "_ds_raw", None)
+        if ds_raw is not None and "full_point_sweep" in seq_dict:
+            from ..utils.device_seq import DeviceSeq
+
+            keep_dev = ~(point_height < h)
+            seq_dict["_dev_seq"] = DeviceSeq.from_device(
+                ds_raw.compact(keep_dev, int(keep.sum())),
+                np.asarray(seq_dict["point_sweep"]).reshape(-1),
+                host_key=seq_dict["point_fxyz"],
+            )
+            keep0 = point_height_np > 0.0
+            full_frame = np.asarray(seq_dict["full_point_sweep"]).reshape(-1)
+            seq_dict["_dev_seq_all"] = DeviceSeq.from_device(
+                ds_raw.compact(point_height > 0.0, int(keep0.sum())),
+                full_frame[keep0],
+            )
         self._tick("mask_filter", _tp)
         if os.environ.get("PCSEQ_PROF"):
             print("GROUND_PROF", {k: round(v, 2) for k, v in self._prof.items()},

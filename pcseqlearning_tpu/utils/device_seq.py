@@ -75,6 +75,21 @@ def _aux_frame_table(flat, starts, counts, F, p_cap):
     return jnp.where(valid, tab, jnp.zeros((), flat.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_rows(flat, keep, n_keep, cap):
+    """Stable-compact kept rows to the front: [cap, 4] device table of the
+    rows where ``keep`` (original order preserved), pads at 1e8. ``keep``
+    covers the real rows (pads beyond it drop)."""
+    n_pad = flat.shape[0]
+    key = jnp.ones(n_pad, jnp.int32).at[: keep.shape[0]].set(
+        1 - keep.astype(jnp.int32))
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, iota), num_keys=2)  # ties keep row order
+    out = flat[perm[:cap]]
+    valid = jnp.arange(cap, dtype=jnp.int32) < n_keep
+    return jnp.where(valid[:, None], out, 1e8)
+
+
 class DeviceSeq:
     """One H2D upload; every stage layout is an on-device view."""
 
@@ -85,18 +100,51 @@ class DeviceSeq:
         self.n = len(frame)
         if not self.ok:
             return
+        self._init_index(frame)
+        n_pad = bucket_size(self.n)
+        flat = np.full((n_pad, 4), 1e8, np.float32)
+        flat[: self.n] = np.asarray(fxyz_np, np.float32)
+        self.flat = jnp.asarray(flat)
+        self._init_device()
+
+    def _init_index(self, frame):
         fids, counts = np.unique(frame, return_counts=True)
         self.num_frames = int(fids[-1]) + 1
         self.counts = np.zeros(self.num_frames + 1, np.int64)
         self.counts[fids] = counts
         self.starts = np.concatenate([[0], np.cumsum(self.counts[:-1])])
-        n_pad = bucket_size(self.n)
-        flat = np.full((n_pad, 4), 1e8, np.float32)
-        flat[: self.n] = np.asarray(fxyz_np, np.float32)
-        self.flat = jnp.asarray(flat)
+
+    def _init_device(self):
         self._starts_d = jnp.asarray(self.starts.astype(np.int32))
         self._counts_d = jnp.asarray(self.counts.astype(np.int32))
         self._ft_cache = {}
+
+    @classmethod
+    def from_device(cls, flat_dev, frame_np, host_key=None):
+        """Wrap an ALREADY-RESIDENT padded flat table (e.g. a device
+        compact of a larger table) — zero H2D. ``frame_np`` is the host
+        frame column of the real rows (must be frame-sorted);
+        ``host_key`` is the host array future callers will pass to
+        get_device_seq/matches."""
+        self = cls.__new__(cls)
+        frame = np.asarray(frame_np).reshape(-1)
+        self.ok = len(frame) > 0 and bool((np.diff(frame) >= 0).all())
+        self._host_id = id(host_key) if host_key is not None else None
+        self.n = len(frame)
+        if not self.ok:
+            return self
+        assert flat_dev.shape[0] >= self.n, (flat_dev.shape, self.n)
+        self._init_index(frame)
+        self.flat = flat_dev
+        self._init_device()
+        return self
+
+    def compact(self, keep_dev, n_keep):
+        """Device table of the kept rows (order preserved), as a padded
+        [bucket(n_keep), 4] flat array — the input for from_device."""
+        cap = bucket_size(max(int(n_keep), 1))
+        return _compact_rows(
+            self.flat, keep_dev, jnp.asarray(int(n_keep), jnp.int32), cap)
 
     def matches(self, fxyz_np):
         return self.ok and id(fxyz_np) == self._host_id

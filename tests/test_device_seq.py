@@ -110,3 +110,22 @@ def test_pack_components_device_matches_host():
         jnp.asarray(keep2), C, P)
     np.testing.assert_array_equal(np.asarray(d_mask2), h_mask2)
     np.testing.assert_allclose(np.asarray(d_xyz2), h_xyz2, atol=0)
+
+
+def test_compact_and_from_device():
+    import jax.numpy as jnp
+
+    fxyz, frame = _seq()
+    ds = DeviceSeq(fxyz, frame)
+    keep = (np.arange(len(frame)) % 3 != 0)
+    flat2 = ds.compact(jnp.asarray(keep), int(keep.sum()))
+    host_kept = fxyz[keep]
+    np.testing.assert_allclose(np.asarray(flat2)[: keep.sum()], host_kept)
+    assert (np.asarray(flat2)[keep.sum():] == 1e8).all()
+    ds2 = DeviceSeq.from_device(flat2, frame[keep], host_key=host_kept)
+    assert ds2.ok and ds2.matches(host_kept)
+    tab, tval, p_cap = ds2.frame_table()
+    tab = np.asarray(tab)
+    for f in range(5):
+        rows = host_kept[frame[keep] == f]
+        np.testing.assert_allclose(tab[f, : len(rows)], rows)
