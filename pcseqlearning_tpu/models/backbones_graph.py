@@ -149,10 +149,10 @@ class GraphConvNet(nn.Module):
 
         x = feats
         if self.variant == "PointNet2RepSurf":
-            from .vfe import umbrella_surface_features
+            from .repsurf import UmbrellaSurfaceConstructor
 
-            surf = umbrella_surface_features(
-                pts[:, 1:4], jnp.round(pts[:, 0]).astype(jnp.int32), valid
+            surf = UmbrellaSurfaceConstructor(name="umbrella")(
+                pts[:, 1:4], jnp.round(pts[:, 0]).astype(jnp.int32), valid, train
             )
             x = jnp.concatenate([x, surf], axis=-1)
 

@@ -276,6 +276,9 @@ class RepsurfDynamicVFE(nn.Module):
     voxel_cap: int
     mlp_channels: Sequence[int] = (32, 64)
     knn: int = 9
+    # learnable umbrella constructor (reference UmbrellaSurfaceConstructor,
+    # repsurface_utils.py:413-467) vs the raw mean-aggregated descriptors
+    learnable_surface: bool = True
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = False):
@@ -309,9 +312,17 @@ class RepsurfDynamicVFE(nn.Module):
             if i + 1 < len(self.mlp_channels):
                 x = jnp.concatenate([x, vmean[jnp.clip(inverse, 0, cap - 1)]], axis=-1)
 
-        surf = umbrella_surface_features(
-            points[:, 1:4], jnp.round(points[:, 0]).astype(jnp.int32), valid, k=self.knn
-        )
+        if self.learnable_surface:
+            from .repsurf import UmbrellaSurfaceConstructor
+
+            surf = UmbrellaSurfaceConstructor(k=self.knn, name="umbrella")(
+                points[:, 1:4], jnp.round(points[:, 0]).astype(jnp.int32),
+                valid, train,
+            )
+        else:
+            surf = umbrella_surface_features(
+                points[:, 1:4], jnp.round(points[:, 0]).astype(jnp.int32), valid, k=self.knn
+            )
         vsurf = segment_ops.segment_mean(
             jnp.where(valid[:, None], surf, 0.0), inv_safe, cap + 1
         )[:cap]

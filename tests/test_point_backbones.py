@@ -195,3 +195,56 @@ def test_temporal_vfe_sequence_edges():
     assert (dst[:32] == np.arange(32) + 32).mean() > 0.9
     # sweep-1 points have no next sweep
     assert not ok[32:].any()
+
+
+def test_umbrella_triangles_plane_oracle():
+    """On a planar cloud (z=0) every umbrella triangle is flat: normals
+    orient to +z exactly and the plane constant pos = <n, centroid> is 0
+    (reference cal_normal/cal_const, repsurface_utils.py:413-467)."""
+    import jax.numpy as jnp
+
+    from pcseqlearning_tpu.models.repsurf import umbrella_triangles
+
+    rng = np.random.RandomState(0)
+    n = 64
+    xyz = np.concatenate([rng.rand(n, 2) * 4, np.zeros((n, 1))], 1).astype(np.float32)
+    normal, centroid, polar, pos, ok = umbrella_triangles(
+        jnp.asarray(xyz), jnp.zeros(n, jnp.int32), jnp.ones(n, bool), k=6)
+    okn = np.asarray(ok)
+    nrm = np.asarray(normal)[okn]
+    np.testing.assert_allclose(nrm[:, 2], 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pos)[okn], 0.0, atol=1e-5)
+    # centroid of triangle (0, v0, v1) stays in-plane
+    np.testing.assert_allclose(np.asarray(centroid)[okn][:, 2], 0.0, atol=1e-6)
+
+
+def test_umbrella_constructor_learnable():
+    """The constructor is a learnable map: output shape [N, C], zeros on
+    invalid points, and gradients flow to its MLP parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcseqlearning_tpu.models.repsurf import UmbrellaSurfaceConstructor
+
+    rng = np.random.RandomState(1)
+    n = 48
+    xyz = jnp.asarray(rng.rand(n, 3).astype(np.float32) * 3)
+    valid = jnp.asarray(np.arange(n) < 40)
+    m = UmbrellaSurfaceConstructor(k=5)
+    v = m.init(jax.random.PRNGKey(0), xyz, jnp.zeros(n, jnp.int32), valid, True)
+
+    def loss(params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            xyz, jnp.zeros(n, jnp.int32), valid, True,
+            mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    out, _ = m.apply(v, xyz, jnp.zeros(n, jnp.int32), valid, True,
+                     mutable=["batch_stats"])
+    assert out.shape == (n, 10)
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(out)[40:] == 0).all()
+    g = jax.grad(loss)(v["params"])
+    gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert gn > 0
