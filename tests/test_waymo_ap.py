@@ -122,3 +122,29 @@ def test_waymo_style_ap_misses_and_thresholds():
     _, r = waymo_style_ap(det, gt, ["Pedestrian"], with_range_breakdown=False)
     assert abs(r["Pedestrian/L1/AP"] - 1.0) < 1e-6
     assert abs(r["Pedestrian/L1/APH"] - 1.0) < 1e-6
+
+
+def test_feature_leakage_eval():
+    """waymo_fl_eval completes the reference's WIP intent: per-class,
+    per-tracking-difficulty best-IoU stats. A perfect prediction set gives
+    mean_iou ~1; an empty one gives 0."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from waymo_fl_eval import eval_feature_leakage
+
+    gt_boxes = np.asarray(
+        [[0, 0, 1, 4, 2, 1.6, 0.3], [10, 5, 1, 4.5, 2, 1.7, 1.2]], np.float32)
+    gt = [dict(frame_id="f0", name=np.asarray(["Vehicle", "Vehicle"]),
+               gt_boxes_lidar=gt_boxes,
+               tracking_difficulty=np.asarray([0, 1]))]
+    pred_perfect = [dict(frame_id="f0", name=np.asarray(["Vehicle", "Vehicle"]),
+                         boxes_lidar=gt_boxes, score=np.ones(2))]
+    stats = eval_feature_leakage(gt, pred_perfect, ["Vehicle"])
+    assert stats["Vehicle"][0]["mean_iou"] > 0.99
+    assert stats["Vehicle"][1]["recall_0_7"] == 1.0
+    pred_empty = [dict(frame_id="f0", name=np.asarray([]),
+                       boxes_lidar=np.zeros((0, 7), np.float32), score=np.zeros(0))]
+    stats = eval_feature_leakage(gt, pred_empty, ["Vehicle"])
+    assert stats["Vehicle"][0]["mean_iou"] == 0.0
