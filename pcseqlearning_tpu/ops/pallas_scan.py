@@ -359,19 +359,13 @@ def _scan_kernel(wstart_ref, r2_ref, table_ref, q_ref, bounds_ref,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("F", "X", "Y", "W", "Bq", "max_rounds", "interpret"),
-)
-def connected_components_radius(
-    fxyz, valid, radius, F, X, Y, W=1536, Bq=256, max_rounds=24,
-    interpret=False,
-):
-    """Exact connected components of the same-frame radius graph.
-
-    Returns (component [N] int32 dense ids in ORIGINAL row order, -1 for
-    invalid rows; num_components traced int32; num_truncated traced int32).
-    """
+@functools.partial(jax.jit, static_argnames=("F", "X", "Y", "Bq"))
+def _cc_prep(fxyz, valid, radius, F, X, Y, Bq=256):
+    """W-independent half of the radius CC: sort, offsets, per-slot probe
+    bounds, per-block union windows. Returns the device state consumed by
+    _cc_rounds plus ``max_window`` — the largest block union span, which
+    the host reads to pick the smallest adequate scan window W (the
+    windows depend only on geometry, not on the propagation rounds)."""
     n = fxyz.shape[0]
     assert n < (1 << 24), "f32 label positions must stay exact"
     if valid is None:
@@ -397,17 +391,8 @@ def connected_components_radius(
     ridx = jnp.arange(n, dtype=jnp.int32)
     _, sorted_idx = jax.lax.sort((rlin, ridx), num_keys=1)
     sorted_xyz = fxyz[sorted_idx, 1:4]
-    W_k = W + 128
-    # slots ARE the sorted nodes; blocks are consecutive slot ranges. The
-    # label table must cover every slot: round the table size up to BOTH
-    # the 128-lane window granularity and the Bq block granularity (a
-    # non-pow2 bucket like 851,300 rounds to different sizes — observed at
-    # reference scale as an ltab scatter shape mismatch)
     nb = -(-n // Bq)
     m_pad = nb * Bq
-    n_pad = max(-(-n // 128) * 128, W_k, m_pad)
-    table = jnp.full((8, n_pad), 3e38, jnp.float32)
-    table = table.at[0:3, :n].set(sorted_xyz.astype(jnp.float32).T)
     counts = jnp.zeros(L + 1, jnp.int32).at[rlin].add(1)
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
@@ -437,6 +422,34 @@ def connected_components_radius(
     has_any = jnp.any(~empty, axis=2)
     win_lo = jnp.where(has_any, win_lo, 0)
     win_hi = jnp.where(has_any, win_hi, 0)
+    # +128 lane-alignment slack is part of the effective span
+    max_window = jnp.max(win_hi - win_lo)
+    node_ok = jnp.zeros(m_pad, bool).at[:n].set(valid[sorted_idx])
+    state = dict(
+        sorted_xyz=sl_xyz, sorted_idx=sorted_idx, node_ok=node_ok,
+        win_lo=win_lo, win_hi=win_hi, bs=bs, be=be, r2=r2,
+    )
+    return state, max_window
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "W", "Bq", "max_rounds", "interpret"))
+def _cc_rounds(state, n, W, Bq=256, max_rounds=24, interpret=False):
+    """Label-propagation rounds at a STATIC scan window W over a prepped
+    chunk (see _cc_prep). n is the real row count (static via caller)."""
+    sl_xyz = state["sorted_xyz"]
+    sorted_idx = state["sorted_idx"]
+    node_ok = state["node_ok"]
+    bs, be = state["bs"], state["be"]
+    r2 = state["r2"]
+    m_pad = sl_xyz.shape[0]
+    nb = m_pad // Bq
+    W_k = W + 128
+    n_pad = max(-(-n // 128) * 128, W_k, m_pad)
+    table = jnp.full((8, n_pad), 3e38, jnp.float32)
+    table = table.at[0:3, :n].set(sl_xyz[:n].T)
+
+    win_lo, win_hi = state["win_lo"], state["win_hi"]
     num_truncated = jnp.sum((win_hi - win_lo > W).astype(jnp.int32))
     win_lo = (win_lo // 128) * 128
     win_lo = jnp.minimum(win_lo, jnp.maximum(n_pad - W_k, 0))
@@ -471,13 +484,59 @@ def connected_components_radius(
         round_cond, round_body, (l0, jnp.bool_(True), 0))
 
     # compact in slot space, then scatter to original row order
-    node_ok = jnp.zeros(m_pad, bool).at[:n].set(valid[sorted_idx])
     is_root = (labels == jnp.arange(m_pad, dtype=jnp.int32)) & node_ok
     rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
     comp_slot = jnp.where(node_ok, rank[labels], -1)
     component = jnp.zeros(n, jnp.int32).at[sorted_idx].set(comp_slot[:n])
     num_components = jnp.sum(is_root.astype(jnp.int32))
     return component, num_components, num_truncated
+
+
+# the adaptive scan-window ladder: smallest W covering the chunk's largest
+# block union span wins; beyond the top rung the kernel truncates (and
+# reports). Bq=256 keeps every rung's [Bq, W] temporaries inside VMEM.
+CC_W_LADDER = (512, 1024, 1536, 2560)
+
+
+def cc_prep(fxyz, valid, radius, F, X, Y, Bq=256):
+    """Two-phase API (dispatch all preps, then read max windows, then
+    dispatch rounds — keeps the device pipeline full across chunks)."""
+    state, max_window = _cc_prep(fxyz, valid, radius, F, X, Y, Bq=Bq)
+    try:
+        max_window.copy_to_host_async()
+    except AttributeError:
+        pass
+    return state, max_window
+
+
+def cc_finish(state, max_window, n, Bq=256, max_rounds=24, interpret=False):
+    """Pick the smallest ladder W >= max_window (pow-of-128 slack included
+    by the kernel) and run the propagation rounds."""
+    mw = int(max_window)
+    W = next((w for w in CC_W_LADDER if w >= mw + 128), CC_W_LADDER[-1])
+    return _cc_rounds(state, n, W=W, Bq=Bq, max_rounds=max_rounds,
+                      interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("F", "X", "Y", "W", "Bq", "max_rounds", "interpret"),
+)
+def connected_components_radius(
+    fxyz, valid, radius, F, X, Y, W=1536, Bq=256, max_rounds=24,
+    interpret=False,
+):
+    """Exact connected components of the same-frame radius graph (single
+    -dispatch fixed-W variant; ClusterProposal uses the adaptive
+    cc_prep/cc_finish pair).
+
+    Returns (component [N] int32 dense ids in ORIGINAL row order, -1 for
+    invalid rows; num_components traced int32; num_truncated traced int32).
+    """
+    n = fxyz.shape[0]
+    state, _ = _cc_prep(fxyz, valid, radius, F, X, Y, Bq=Bq)
+    return _cc_rounds(state, n, W=W, Bq=Bq, max_rounds=max_rounds,
+                      interpret=interpret)
 
 
 def _cc_kernel_call(win_start, r2, table, ltab, qB, bounds, *, nb, Bq, W,

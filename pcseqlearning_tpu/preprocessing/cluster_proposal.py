@@ -194,7 +194,6 @@ class ClusterProposal:
         # back: jax dispatch is async, so the device crunches chunk i+1
         # while the host pads chunk i+2 and drains chunk i
         use_pallas = pallas_scan.use_pallas_scan()
-        scan_w = int(self.model_cfg.get("SCAN_WINDOW", 1536))
         from ..utils.frame_index import FrameIndex
 
         findex = FrameIndex(frame)
@@ -206,8 +205,11 @@ class ClusterProposal:
 
         ds = get_device_seq(seq_dict, fxyz, frame) if self.num_shards <= 1 else None
         pending = []
-        # chunks outer, radii inner: each chunk's padded point table is
+        # sweep 1 — dispatch the W-independent CC prep (sort + probe
+        # bounds + union-window spans) for every (chunk, radius); chunks
+        # outer, radii inner so each chunk's padded point table is
         # uploaded/sliced ONCE and shared by every radius
+        preps = []
         for f0 in range(0, num_frames, self.chunk_frames):
             m = findex.rows_range(f0, f0 + self.chunk_frames)
             if not len(m):
@@ -235,19 +237,28 @@ class ClusterProposal:
                 if use_pallas:
                     cells = int(np.ceil(span / radius)) + 3
                     XY = 1 << max(cells - 1, 1).bit_length()  # pow2 bucket
-                    comp, num, ntrunc = _chunk_components_pallas(
-                        padded_d, valid_d, radius,
-                        self.cc_neighbors, F=self.chunk_frames, X=XY, Y=XY,
-                        W=scan_w, Bq=256,
+                    state, max_win = pallas_scan.cc_prep(
+                        padded_d, valid_d, radius, F=self.chunk_frames,
+                        X=XY, Y=XY,
                     )
+                    preps.append((comp_key, m, pts.shape[0], off,
+                                  padded_d.shape[0], state, max_win))
                 else:
                     ntrunc = None
                     comp, num = _chunk_components(
                         padded_d, valid_d, radius,
                         self.cc_neighbors, cell_cap=self.cc_cell_cap,
                     )
-                pending.append((comp_key, m, pts.shape[0],
-                                ("dense", comp, num, ntrunc, off)))
+                    pending.append((comp_key, m, pts.shape[0],
+                                    ("dense", comp, num, ntrunc, off)))
+        # sweep 2 — read each chunk's largest union-window span (the only
+        # host sync) and dispatch the propagation rounds at the smallest
+        # adequate scan window W: easy chunks run at ~1/3 the DMA of the
+        # old fixed W=1536 and heavy chunks (which used to truncate
+        # 150-290 windows at reference scale) get a full-size window
+        for comp_key, m, n_pts, off, cap, state, max_win in preps:
+            comp, num, ntrunc = pallas_scan.cc_finish(state, max_win, cap)
+            pending.append((comp_key, m, n_pts, ("dense", comp, num, ntrunc, off)))
 
         # start every chunk's D2H before blocking on any (each blocking
         # read through the tunneled TPU pays a full round-trip latency)
@@ -280,8 +291,8 @@ class ClusterProposal:
             totals[comp_key] += int(num)
             if ntrunc is not None and int(ntrunc) > 0:
                 print(f"Cluster Proposal {comp_key}: WARNING "
-                      f"{int(ntrunc)} scan windows truncated at "
-                      f"SCAN_WINDOW={self.model_cfg.get('SCAN_WINDOW', 1536)}")
+                      f"{int(ntrunc)} scan windows truncated at the top "
+                      f"ladder W={pallas_scan.CC_W_LADDER[-1]}")
         for comp_key in self.component_keys:
             seq_dict[f"point_{comp_key}"] = components[comp_key]
             print(f"Cluster Proposal {comp_key}: num_components={totals[comp_key]}")

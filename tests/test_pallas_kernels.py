@@ -159,3 +159,34 @@ def test_connected_components_radius_unaligned_bucket(rng):
     for a, b in zip(lab, comp):
         assert m1.setdefault(a, b) == b and m2.setdefault(b, a) == a
     assert ncc == int(num)
+
+
+def test_cc_prep_finish_adaptive_matches_fixed(rng):
+    """Two-phase adaptive CC (cc_prep -> host W pick -> cc_finish) must
+    reproduce the fixed-W single-dispatch partition, and max_window must
+    bound every block's union span (so the chosen W never truncates)."""
+    from pcseqlearning_tpu.ops import pallas_scan
+
+    n = 384
+    fxyz = np.concatenate([
+        rng.randint(0, 2, (n, 1)).astype(np.float32),
+        rng.rand(n, 2).astype(np.float32) * 8 - 4,
+        rng.randn(n, 1).astype(np.float32) * 0.4,
+    ], axis=1)
+    valid = rng.rand(n) > 0.1
+    r = 0.8
+    comp_fix, num_fix, _ = pallas_scan.connected_components_radius(
+        jnp.asarray(fxyz), jnp.asarray(valid), r, F=2, X=16, Y=16,
+        W=512, Bq=128, interpret=True,
+    )
+    state, max_win = pallas_scan.cc_prep(
+        jnp.asarray(fxyz), jnp.asarray(valid), r, F=2, X=16, Y=16, Bq=128)
+    assert int(max_win) <= n
+    comp_ad, num_ad, ntrunc = pallas_scan.cc_finish(
+        state, max_win, n, Bq=128, interpret=True)
+    assert int(ntrunc) == 0
+    assert int(num_ad) == int(num_fix)
+    ca, cf = np.asarray(comp_ad), np.asarray(comp_fix)
+    m1, m2 = {}, {}
+    for a, b in zip(ca[valid], cf[valid]):
+        assert m1.setdefault(a, b) == b and m2.setdefault(b, a) == a
