@@ -856,16 +856,16 @@ class GroundPlaneRemover:
             from ..utils.device_seq import DeviceSeq
 
             keep_dev = ~(point_height < h)
-            seq_dict["_dev_seq"] = DeviceSeq.from_device(
-                ds_raw.compact(keep_dev, int(keep.sum())),
-                np.asarray(seq_dict["point_sweep"]).reshape(-1),
-                host_key=seq_dict["point_fxyz"],
-            )
             keep0 = point_height_np > 0.0
             full_frame = np.asarray(seq_dict["full_point_sweep"]).reshape(-1)
+            flat_main, flat_all = ds_raw.compact2(
+                keep_dev, int(keep.sum()), point_height > 0.0, int(keep0.sum()))
+            seq_dict["_dev_seq"] = DeviceSeq.from_device(
+                flat_main, np.asarray(seq_dict["point_sweep"]).reshape(-1),
+                host_key=seq_dict["point_fxyz"],
+            )
             seq_dict["_dev_seq_all"] = DeviceSeq.from_device(
-                ds_raw.compact(point_height > 0.0, int(keep0.sum())),
-                full_frame[keep0],
+                flat_all, full_frame[keep0],
             )
         self._tick("mask_filter", _tp)
         if os.environ.get("PCSEQ_PROF"):

@@ -75,8 +75,7 @@ def _aux_frame_table(flat, starts, counts, F, p_cap):
     return jnp.where(valid, tab, jnp.zeros((), flat.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _compact_rows(flat, keep, n_keep, cap):
+def _compact_rows_impl(flat, keep, n_keep, cap):
     """Stable-compact kept rows to the front: [cap, 4] device table of the
     rows where ``keep`` (original order preserved), pads at 1e8. ``keep``
     covers the real rows (pads beyond it drop)."""
@@ -88,6 +87,19 @@ def _compact_rows(flat, keep, n_keep, cap):
     out = flat[perm[:cap]]
     valid = jnp.arange(cap, dtype=jnp.int32) < n_keep
     return jnp.where(valid[:, None], out, 1e8)
+
+
+_compact_rows = functools.partial(jax.jit, static_argnames=("cap",))(
+    _compact_rows_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cap1", "cap2"))
+def _compact_rows2(flat, keep1, n1, cap1, keep2, n2, cap2):
+    """Both downstream compactions in ONE executable (the axon relay pays
+    a queue-dependent first-run cost per executable, so the ground stage
+    hands off its two filtered tables with one program)."""
+    return (_compact_rows_impl(flat, keep1, n1, cap1),
+            _compact_rows_impl(flat, keep2, n2, cap2))
 
 
 class DeviceSeq:
@@ -145,6 +157,14 @@ class DeviceSeq:
         cap = bucket_size(max(int(n_keep), 1))
         return _compact_rows(
             self.flat, keep_dev, jnp.asarray(int(n_keep), jnp.int32), cap)
+
+    def compact2(self, keep1, n1, keep2, n2):
+        """Two compactions, one dispatch (see _compact_rows2)."""
+        cap1 = bucket_size(max(int(n1), 1))
+        cap2 = bucket_size(max(int(n2), 1))
+        return _compact_rows2(
+            self.flat, keep1, jnp.asarray(int(n1), jnp.int32), cap1,
+            keep2, jnp.asarray(int(n2), jnp.int32), cap2)
 
     def matches(self, fxyz_np):
         return self.ok and id(fxyz_np) == self._host_id

@@ -129,3 +129,18 @@ def test_compact_and_from_device():
     for f in range(5):
         rows = host_kept[frame[keep] == f]
         np.testing.assert_allclose(tab[f, : len(rows)], rows)
+
+
+def test_compact2_matches_single():
+    import jax.numpy as jnp
+
+    fxyz, frame = _seq()
+    ds = DeviceSeq(fxyz, frame)
+    k1 = (np.arange(len(frame)) % 2 == 0)
+    k2 = (np.arange(len(frame)) % 5 != 0)
+    a, b = ds.compact2(jnp.asarray(k1), int(k1.sum()),
+                       jnp.asarray(k2), int(k2.sum()))
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(ds.compact(jnp.asarray(k1), int(k1.sum()))))
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(ds.compact(jnp.asarray(k2), int(k2.sum()))))
