@@ -166,6 +166,50 @@ _box_assign_batch = jax.jit(
     jax.vmap(lambda p, b, v: _box_assign(p, b, v).astype(jnp.int16)))
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_claims(comp, gt, cap):
+    """Ship only the CLAIMING rows over the tunnel: the window claim is
+    sparse (most full-res points match no extracted point), so instead of
+    the dense [Fw, n_cap] int16 claim+gt tables (~15 MB per tracked frame
+    at reference scale) the wire carries (pos, comp, gt) for the claimed
+    rows; the per-box counts the IoU union needs from UNCLAIMED rows ship
+    as the tiny m1cnt table from _box_assign_batch2.
+
+    comp/gt: [M] int16 flat over the window (row-major [Fw, n_cap]).
+    Returns (pos [cap] int32 flat positions (-1 pads), comp [cap] i16,
+    gt [cap] i16, count — claims beyond ``cap`` are dropped and count
+    tells the caller to fall back)."""
+    M = comp.shape[0]
+    sel = comp >= 0
+    key = 1 - sel.astype(jnp.int32)
+    iota = jnp.arange(M, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, iota), num_keys=2)
+    pos = perm[:cap]
+    count = jnp.sum(sel.astype(jnp.int32))
+    take_ok = jnp.arange(cap, dtype=jnp.int32) < count
+    pos = jnp.where(take_ok, pos, -1)
+    safe = jnp.clip(pos, 0, M - 1)
+    return pos, comp[safe], gt[safe], count
+
+
+@jax.jit
+def _box_assign_batch2(pts, boxes, bvalid):
+    """Per-frame box assignment (int16) + per-frame per-box point counts
+    (the m1cnt of the box-IoU union, reference cluster_tracking.py:
+    382-414) in one dispatch."""
+
+    def one(pp, bb, vv):
+        gid = _box_assign(pp, bb, vv)
+        B = bb.shape[0]
+        cnt = jax.ops.segment_sum(
+            (gid >= 0).astype(jnp.int32), jnp.where(gid >= 0, gid, B),
+            num_segments=B + 1,
+        )[:B]
+        return gid.astype(jnp.int16), cnt
+
+    return jax.vmap(one)(pts, boxes, bvalid)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _claim_points_kernel(query_xyz, query_valid, tile_xyz, tile_mask, radius):
     """Assign each query point to the component of its nearest tile point
@@ -1001,25 +1045,48 @@ class ClusterTracking:
                 jnp.asarray(claim_r, jnp.float32),
                 F=2 * self.track_interval + 1, X=XY, Y=XY,
             )
-            comp_all = comp_all.reshape(Fw, n_cap)
-            gt_all = _box_assign_batch(
+            gt_all, m1cnt_all = _box_assign_batch2(
                 jnp.asarray(qx_all[..., 1:4]), jnp.asarray(boxes_all),
                 jnp.asarray(bval_all),
             )
-            # drain in TWO bulk transfers (per-frame slice reads through
-            # the tunnel each pay a full D2H round-trip: 51 reads -> 2)
-            for v in (comp_all, gt_all):
+            # claims are sparse: compact them on device and ship only the
+            # claiming rows (the dense [Fw, n_cap] tables cost ~15 MB per
+            # tracked frame over the ~50 MB/s tunnel)
+            claim_cap = min(bucket_size(4 * max(E, 256)), Fw * n_cap)
+            pos_c, comp_c, gt_c, cnt_c = _compact_claims(
+                comp_all.reshape(-1), gt_all.reshape(-1), claim_cap)
+            for v in (pos_c, comp_c, gt_c, cnt_c, m1cnt_all):
                 try:
                     v.copy_to_host_async()
                 except AttributeError:
                     pass
-            comp_np_all = np.asarray(comp_all)
-            gt_np_all = np.asarray(gt_all)
-            self._tick("ex_dispatch", _tp)
-            for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
-                pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
-                                comp_np_all[i], None,
-                                gt_np_all[i] if len(b_idx) else None))
+            n_claim = int(cnt_c)
+            m1cnt_np = np.asarray(m1cnt_all)
+            if n_claim > claim_cap:
+                # overflow — fall back to the dense drain (rare; cap is 4x
+                # the extracted count)
+                print(f"Cluster Tracking: claim compaction overflow "
+                      f"({n_claim} > {claim_cap}), dense drain")
+                comp_np_all = np.asarray(comp_all).reshape(Fw, n_cap)
+                gt_np_all = np.asarray(gt_all)
+                self._tick("ex_dispatch", _tp)
+                for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
+                    pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
+                                    comp_np_all[i], None,
+                                    gt_np_all[i] if len(b_idx) else None))
+            else:
+                pos_np = np.asarray(pos_c)[:n_claim]
+                comp_np = np.asarray(comp_c)[:n_claim]
+                gt_np = np.asarray(gt_c)[:n_claim]
+                fi_np = pos_np // n_cap
+                row_np = pos_np % n_cap
+                self._tick("ex_dispatch", _tp)
+                for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
+                    mi = fi_np == i
+                    pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
+                                    ("sparse", row_np[mi], comp_np[mi], gt_np[mi],
+                                     m1cnt_np[i]),
+                                    None, None))
         else:
             for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx in frames_info:
                 _tp = __import__("time").time()
@@ -1055,7 +1122,15 @@ class ClusterTracking:
         for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev in pending:
             n_ref = len(ref_xyz)
             _tp = __import__("time").time()
-            comp_local_np = np.asarray(comp_j)[:n_ref].astype(np.int64)
+            sparse_gt = None
+            if isinstance(comp_j, tuple) and comp_j[0] == "sparse":
+                _, rows_j, comp_vals, gt_vals, m1cnt_j = comp_j
+                comp_local_np = np.full(n_ref, -1, np.int64)
+                in_rng = rows_j < n_ref
+                comp_local_np[rows_j[in_rng]] = comp_vals[in_rng].astype(np.int64)
+                sparse_gt = (rows_j[in_rng], gt_vals[in_rng].astype(np.int64), m1cnt_j)
+            else:
+                comp_local_np = np.asarray(comp_j)[:n_ref].astype(np.int64)
             if zsel is not None:
                 zsel = np.asarray(zsel)[:n_ref]
             comp_np = np.where(
@@ -1097,9 +1172,18 @@ class ClusterTracking:
             full.moving.append(mov_by_comp[comp_sel])
 
             # ----- box IoU update (382-414), vectorized over components -----
-            if ref_gt_dev is not None and len(sel):
+            if (ref_gt_dev is not None or sparse_gt is not None) and len(sel) and len(b_idx):
                 Bf = len(b_idx)
-                ref_gt = np.asarray(ref_gt_dev)[:n_ref]
+                if sparse_gt is not None:
+                    rows_j, gt_vals, m1cnt_j = sparse_gt
+                    ref_gt = np.full(n_ref, -1, np.int64)
+                    ref_gt[rows_j] = gt_vals  # claimed rows only — sel is
+                    # a subset of the claimed rows, which is all the inter
+                    # counts need; m1cnt comes precounted from device
+                    m1cnt = np.asarray(m1cnt_j)[:Bf]
+                else:
+                    ref_gt = np.asarray(ref_gt_dev)[:n_ref]
+                    m1cnt = np.bincount(ref_gt[ref_gt >= 0], minlength=Bf)
                 gt_sel = ref_gt[sel]
                 pair_ok = gt_sel >= 0
                 inter = np.bincount(
@@ -1107,7 +1191,6 @@ class ClusterTracking:
                     minlength=num_components * Bf,
                 ).reshape(num_components, Bf)
                 cnt_c = np.bincount(comp_sel, minlength=num_components)
-                m1cnt = np.bincount(ref_gt[ref_gt >= 0], minlength=Bf)
                 abox = inter.argmax(1)
                 inter_best = inter.max(1)
                 has = inter_best > 0
