@@ -241,7 +241,7 @@ class ClusterProposal:
                         padded_d, valid_d, radius, F=self.chunk_frames,
                         X=XY, Y=XY,
                     )
-                    preps.append((comp_key, m, pts.shape[0], off,
+                    preps.append((comp_key, radius, m, pts.shape[0], off,
                                   padded_d.shape[0], state, max_win))
                 else:
                     ntrunc = None
@@ -250,15 +250,16 @@ class ClusterProposal:
                         self.cc_neighbors, cell_cap=self.cc_cell_cap,
                     )
                     pending.append((comp_key, m, pts.shape[0],
-                                    ("dense", comp, num, ntrunc, off)))
+                                    ("dense", comp, num, ntrunc, off, radius)))
         # sweep 2 — read each chunk's largest union-window span (the only
         # host sync) and dispatch the propagation rounds at the smallest
         # adequate scan window W: easy chunks run at ~1/3 the DMA of the
         # old fixed W=1536 and heavy chunks (which used to truncate
         # 150-290 windows at reference scale) get a full-size window
-        for comp_key, m, n_pts, off, cap, state, max_win in preps:
+        for comp_key, radius, m, n_pts, off, cap, state, max_win in preps:
             comp, num, ntrunc = pallas_scan.cc_finish(state, max_win, cap)
-            pending.append((comp_key, m, n_pts, ("dense", comp, num, ntrunc, off)))
+            pending.append((comp_key, m, n_pts,
+                            ("dense", comp, num, ntrunc, off, radius)))
 
         # start every chunk's D2H before blocking on any (each blocking
         # read through the tunneled TPU pays a full round-trip latency)
@@ -286,8 +287,24 @@ class ClusterProposal:
                           f"{int(np.asarray(ntrunc).sum())} halo points truncated "
                           f"at HALO_CAP={self.halo_cap}")
                 continue
-            _, comp, num, ntrunc, off = payload
-            components[comp_key][m] = np.asarray(comp)[off: off + n_pts] + totals[comp_key]
+            _, comp, num, ntrunc, off, radius = payload
+            try:
+                comp_np = np.asarray(comp)
+            except Exception as e:  # pragma: no cover — TPU-only failure
+                # a new Pallas W variant failing Mosaic/the TPU runtime
+                # must not kill an unattended run: redo this chunk with
+                # the composed-XLA CC (always compiles)
+                print(f"Cluster Proposal {comp_key}: Pallas CC failed "
+                      f"({type(e).__name__}), XLA fallback for this chunk")
+                cap = bucket_size(n_pts)
+                padded, valid = pad_rows(
+                    fxyz[m].astype(np.float32), cap, fill=1e8)
+                comp, num = _chunk_components(
+                    jnp.asarray(padded), jnp.asarray(valid), radius,
+                    self.cc_neighbors, cell_cap=self.cc_cell_cap,
+                )
+                comp_np, ntrunc, off = np.asarray(comp), None, 0
+            components[comp_key][m] = comp_np[off: off + n_pts] + totals[comp_key]
             totals[comp_key] += int(num)
             if ntrunc is not None and int(ntrunc) > 0:
                 print(f"Cluster Proposal {comp_key}: WARNING "
