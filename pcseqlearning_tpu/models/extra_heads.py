@@ -324,7 +324,7 @@ class ImplicitReconstructionHead(nn.Module):
         return batch_dict
 
     @staticmethod
-    def loss(batch_dict, radius=0.4, spherical_radius=0.04, certainty_decay=0.4):
+    def loss(batch_dict, spherical_radius=0.04):
         """BCE against spherical-projection visibility labels (reference
         compute_occupancy, implicit_reconstruction_head.py:81-117).
 
@@ -332,8 +332,11 @@ class ImplicitReconstructionHead(nn.Module):
         (batch, polar, azimuth) space (the reference's k=1 spherical
         radius graph, forward:174-179); the sample is OCCUPIED iff its
         projection onto that ray is at or beyond the return's range rho.
-        The BCE is weighted by certainty = angular-match closeness x
-        range-gap decay, so samples far off every ray contribute nothing."""
+        The BCE weight is the ANGULAR certainty alone — the reference
+        computes a range-gap certainty too but overwrites it with the
+        spherical certainty before the loss reads it
+        (implicit_reconstruction_head.py:211 then get_loss:118-123), so
+        that is the effective training weight."""
         from ..ops.pallas_tpu import pair_min
 
         logits = batch_dict["rec_occupancy_logits"]  # [N, S]
@@ -369,11 +372,7 @@ class ImplicitReconstructionHead(nn.Module):
         lidar_dir = xyz[e_ref] / rho[e_ref][:, None]
         proj_dist = jnp.abs(jnp.sum(flat_s * lidar_dir, axis=-1))
         occ = (rho[e_ref] <= proj_dist).astype(logits.dtype).reshape(n, S)
-        gap = proj_dist - rho[e_ref]
-        certainty = (
-            jnp.clip(certainty_decay - gap, 0.0, certainty_decay) / certainty_decay
-            * spherical_certainty
-        ).reshape(n, S)
+        certainty = spherical_certainty.reshape(n, S)
 
         w = valid[:, None].astype(logits.dtype) * certainty
         bce = jnp.clip(logits, 0) - logits * occ + jnp.log1p(jnp.exp(-jnp.abs(logits)))

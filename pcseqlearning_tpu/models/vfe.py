@@ -232,11 +232,15 @@ def umbrella_surface_features(xyz, batch_idx, valid, k=9):
     from ..utils.polar_utils import cartesian_to_spherical
 
     n = xyz.shape[0]
-    # batch separation by a large per-batch coordinate offset
-    off = batch_idx.astype(xyz.dtype)[:, None] * jnp.asarray([1e4, 0, 0], xyz.dtype)
-    idx, _ = sampling.knn_bruteforce(xyz + off, xyz + off, k + 1, ref_valid=valid)
-    idx = idx[:, 1:]  # drop self
-    nbr_ok = (idx >= 0) & valid[:, None]
+    # batch/validity masking via knn's batch args (inf distance) — a
+    # coordinate offset keeps cross-batch distances finite and would leak
+    # foreign points when an element has < k+1 valid points
+    idx, nd2 = sampling.knn_bruteforce(
+        xyz, xyz, k + 1, ref_valid=valid,
+        ref_batch=batch_idx, query_batch=batch_idx,
+    )
+    idx, nd2 = idx[:, 1:], nd2[:, 1:]  # drop self
+    nbr_ok = jnp.isfinite(nd2) & valid[:, None]
     rel = jnp.where(
         nbr_ok[..., None], xyz[jnp.clip(idx, 0, n - 1)] - xyz[:, None, :], 0.0
     )  # [N, k, 3]

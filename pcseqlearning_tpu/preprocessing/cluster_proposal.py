@@ -38,20 +38,6 @@ def _chunk_components(fxyz, valid, radius, k, cell_cap=48):
     return comp, num
 
 
-@functools.partial(jax.jit, static_argnames=("k", "F", "X", "Y", "W", "Bq"))
-def _chunk_components_pallas(fxyz, valid, radius, k, F, X, Y, W, Bq):
-    """EXACT radius-graph CC over one padded chunk via the fused Pallas
-    label-propagation kernel (no k-cap — closer to the reference's scipy
-    CC over the full radius graph than the kNN approximation; ``k`` is
-    unused and kept for signature compatibility).
-
-    Same output contract as _chunk_components; the third return is the
-    truncated-window count (no silent caps — the caller logs it)."""
-    return pallas_scan.connected_components_radius(
-        fxyz, valid, radius, F=F, X=X, Y=Y, W=W, Bq=Bq,
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("c_cap",))
 def _evaluate_frame(xyz, pvalid, comp_local, boxes, bvalid, c_cap):
     """Per-frame proposal scoring (vectorized reference 203-263).
@@ -256,8 +242,29 @@ class ClusterProposal:
         # adequate scan window W: easy chunks run at ~1/3 the DMA of the
         # old fixed W=1536 and heavy chunks (which used to truncate
         # 150-290 windows at reference scale) get a full-size window
-        for comp_key, radius, m, n_pts, off, cap, state, max_win in preps:
-            comp, num, ntrunc = pallas_scan.cc_finish(state, max_win, cap)
+        for pi in range(len(preps)):
+            comp_key, radius, m, n_pts, off, cap, state, max_win = preps[pi]
+            preps[pi] = None  # drop the prep state's HBM as soon as the
+            # rounds consume it (keeping all chunks' sorted tables + probe
+            # bounds alive until the drain costs ~1.4 GB x n_radii at
+            # reference scale)
+            try:
+                comp, num, ntrunc = pallas_scan.cc_finish(state, max_win, cap)
+            except Exception as e:  # pragma: no cover — TPU-only failure
+                # a never-before-compiled ladder-W rung failing Mosaic
+                # raises HERE (jit compiles at call time) — redo this
+                # chunk with the composed-XLA CC instead of dying
+                print(f"Cluster Proposal {comp_key}: Pallas CC dispatch "
+                      f"failed ({type(e).__name__}), XLA fallback")
+                del state
+                cap_f = bucket_size(n_pts)
+                padded, valid = pad_rows(
+                    fxyz[m].astype(np.float32), cap_f, fill=1e8)
+                comp, num = _chunk_components(
+                    jnp.asarray(padded), jnp.asarray(valid), radius,
+                    self.cc_neighbors, cell_cap=self.cc_cell_cap,
+                )
+                ntrunc, off = None, 0
             pending.append((comp_key, m, n_pts,
                             ("dense", comp, num, ntrunc, off, radius)))
 

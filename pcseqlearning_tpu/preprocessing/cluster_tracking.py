@@ -161,11 +161,6 @@ def _window_claim_pallas(refs, rvalid, ref_comp, q, qv, radius, F, X, Y,
     return comp, ntrunc
 
 
-# all window frames' box assignment in one dispatch; int16 on the wire
-_box_assign_batch = jax.jit(
-    jax.vmap(lambda p, b, v: _box_assign(p, b, v).astype(jnp.int16)))
-
-
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _compact_claims(comp, gt, cap):
     """Ship only the CLAIMING rows over the tunnel: the window claim is

@@ -81,8 +81,13 @@ def extract_foreground_instances(points, seg_cls, seg_inst, gt_boxes,
         cls_points = points[cls_mask]
         inst_labels = seg_inst[cls_mask]
         while cls_points.shape[0] > min_np:
-            if use_inst and len(np.unique(inst_labels)) > 0:
-                lab = np.unique(inst_labels)[0]
+            # instance labels <= 0 are the 'no instance' sentinel: peel
+            # LABELED instances by label; unlabeled points fall back to
+            # BEV radius growth (never lump all unlabeled rows into one
+            # frame-wide pseudo-instance)
+            labeled = inst_labels > 0
+            if use_inst and labeled.any():
+                lab = np.unique(inst_labels[labeled])[0]
                 m = inst_labels == lab
             else:
                 center = cls_points[0]

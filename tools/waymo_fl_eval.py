@@ -34,8 +34,12 @@ def eval_feature_leakage(gt_infos, pred_infos, class_names):
     frame2pred = {p["frame_id"]: p for p in pred_infos}
 
     per_cls = {c: {} for c in class_names}
+    missing = 0
     for gt_info in gt_infos:
-        pred_info = frame2pred[gt_info["frame_id"]]
+        pred_info = frame2pred.get(gt_info["frame_id"])
+        if pred_info is None:  # mismatched sampled_interval / skipped frame
+            missing += 1
+            continue
         gt_names = np.asarray(gt_info["name"])
         gt_boxes = np.asarray(gt_info["gt_boxes_lidar"], np.float32)[:, :7]
         trk_diff = np.asarray(
@@ -62,6 +66,9 @@ def eval_feature_leakage(gt_infos, pred_infos, class_names):
                 bucket = per_cls[cls].setdefault(int(lvl), [])
                 bucket.extend(iou1[d == lvl].tolist())
 
+    if missing:
+        print(f"WARNING: {missing}/{len(gt_infos)} gt frames have no "
+              f"matching prediction frame_id — skipped")
     out = {}
     for cls, by_lvl in per_cls.items():
         out[cls] = {}
