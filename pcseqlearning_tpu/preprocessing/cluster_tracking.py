@@ -314,11 +314,20 @@ class ClusterTracking:
         return self.track_frame_batched(seq_points, frame, seq_boxes, seq_index)
 
     def track_frame_batched(self, seq_points, frame, seq_boxes, seq_index=None):
+        """Component-bucketed walk, dispatch + finish in one call."""
+        h = self.track_frame_batched_dispatch(seq_points, frame, seq_boxes, seq_index)
+        if h is None:
+            return None
+        return self.track_frame_batched_finish(h, seq_points)
+
+    def track_frame_batched_dispatch(self, seq_points, frame, seq_boxes, seq_index=None):
         """Component-bucketed walk (preprocessing/tracking_batched.py):
         packs each component's anchor points into a [C, P] tile, builds the
-        [W, N] frame window, runs the batched walk, and converts outputs to
-        the extracted-points format of the host walk."""
-        from .tracking_batched import pack_components, track_window_batched
+        [W, N] frame window and DISPATCHES the batched walk — no host sync.
+        Returns the handle consumed by track_frame_batched_finish (the
+        dispatch/finish split pipelines tracked frames: the device runs this
+        frame's walk while the host finishes the previous frame)."""
+        from .tracking_batched import pack_components, track_window_batched_dispatch
 
         num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
         if num_components == 0:
@@ -419,7 +428,7 @@ class ClusterTracking:
             (float(v[0]), float(v[1]), float(v[2]), float(r), float(sd))
             for v, r, sd in zip(self.voxel_size_list, self.radius_list, self.stopping_delta)
         )
-        out = track_window_batched(
+        g = track_window_batched_dispatch(
             window_xyz, window_valid, window_stat, comp_xyz, comp_pmask,
             comp_valid0, diam, deg,
             frame_nonempty=np.asarray([len(r) > 0 for r in frame_rows]),
@@ -431,6 +440,20 @@ class ClusterTracking:
             sel_margin=float(self.model_cfg.get("SELECTION_MARGIN", max(self.radius_list) + 4.0)),
             comp_ext=comp_ext, ext_mask=ext_mask,
         )
+        return EDict(
+            g=g, frame=frame, frame_id=frame_id, frame_rows=frame_rows,
+            num_components=num_components, anchor_slot=anchor_slot,
+        )
+
+    def track_frame_batched_finish(self, h, seq_points):
+        """Drain the walk outputs and assemble the extracted-points EDict
+        (the host half of track_frame_batched)."""
+        from .tracking_batched import track_window_batched_drain
+
+        out = track_window_batched_drain(h.g)
+        frame, frame_id = h.frame, h.frame_id
+        frame_rows, anchor_slot = h.frame_rows, h.anchor_slot
+        num_components = h.num_components
         valid_final = out["valid_final"][:num_components]
         moving = out["moving"][:num_components]
 
@@ -929,10 +952,19 @@ class ClusterTracking:
     def extract_traces_and_update_boxes(self, all_points, extracted, seq_boxes):
         """Re-extract member points from the full-resolution cloud and update
         per-box best IoU (reference extract_traces_and_update_boxes,
-        cluster_tracking.py:287-428)."""
+        cluster_tracking.py:287-428). Dispatch + finish in one call."""
+        st = self.extract_traces_dispatch(all_points, extracted, seq_boxes)
+        return self.extract_traces_finish(st, all_points, seq_boxes)
+
+    def extract_traces_dispatch(self, all_points, extracted, seq_boxes):
+        """Pass 1 of the trace extraction: host prep + EVERY device dispatch
+        (window claim scan, box assignment, claim compaction) with D2H
+        copies started but NOT read — the blocking reads live in
+        extract_traces_finish so a pipelined caller can overlap them with
+        the next tracked frame's walk."""
         num_components = int(extracted.component.max()) + 1 if len(extracted.component) else 0
         if num_components == 0:
-            return extracted, seq_boxes
+            return EDict(noop=True, extracted=extracted)
         full = EDict(
             fxyz=[], component=[], segmentation_label=[], original_indices=[], moving=[]
         )
@@ -1055,33 +1087,21 @@ class ClusterTracking:
                     v.copy_to_host_async()
                 except AttributeError:
                     pass
-            n_claim = int(cnt_c)
-            m1cnt_np = np.asarray(m1cnt_all)
-            if n_claim > claim_cap:
-                # overflow — fall back to the dense drain (rare; cap is 4x
-                # the extracted count)
-                print(f"Cluster Tracking: claim compaction overflow "
-                      f"({n_claim} > {claim_cap}), dense drain")
-                comp_np_all = np.asarray(comp_all).reshape(Fw, n_cap)
-                gt_np_all = np.asarray(gt_all)
-                self._tick("ex_dispatch", _tp)
-                for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
-                    pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
-                                    comp_np_all[i], None,
-                                    gt_np_all[i] if len(b_idx) else None))
-            else:
-                pos_np = np.asarray(pos_c)[:n_claim]
-                comp_np = np.asarray(comp_c)[:n_claim]
-                gt_np = np.asarray(gt_c)[:n_claim]
-                fi_np = pos_np // n_cap
-                row_np = pos_np % n_cap
-                self._tick("ex_dispatch", _tp)
-                for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
-                    mi = fi_np == i
-                    pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
-                                    ("sparse", row_np[mi], comp_np[mi], gt_np[mi],
-                                     m1cnt_np[i]),
-                                    None, None))
+            self._tick("ex_dispatch", _tp)
+            # device handles (incl. the dense tables for the overflow
+            # fallback) ride the state; all reads happen in finish
+            pallas_state = EDict(
+                pos_c=pos_c, comp_c=comp_c, gt_c=gt_c, cnt_c=cnt_c,
+                m1cnt_all=m1cnt_all, comp_all=comp_all, gt_all=gt_all,
+                claim_cap=claim_cap, Fw=Fw, n_cap=n_cap,
+            )
+            return EDict(
+                noop=False, extracted=extracted, pending=None,
+                pallas=pallas_state, frames_info=frames_info,
+                full=full, component_hit=component_hit,
+                active_comps=active_comps, comp_to_local=comp_to_local,
+                num_components=num_components,
+            )
         else:
             for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx in frames_info:
                 _tp = __import__("time").time()
@@ -1111,9 +1131,58 @@ class ClusterTracking:
                 pending.append(
                     (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev)
                 )
+        return EDict(
+            noop=False, extracted=extracted, pending=pending, pallas=None,
+            frames_info=frames_info, full=full, component_hit=component_hit,
+            active_comps=active_comps, comp_to_local=comp_to_local,
+            num_components=num_components,
+        )
 
-        # pass 2 — drain device results and run the host-side filtering,
-        # accumulation and box IoU accounting
+    def extract_traces_finish(self, st, all_points, seq_boxes):
+        """Pass 2 of the trace extraction: drain device results and run the
+        host-side filtering, accumulation and box IoU accounting."""
+        if st.get("noop"):
+            return st.extracted, seq_boxes
+        extracted = st.extracted
+        full = st.full
+        component_hit = st.component_hit
+        active_comps = st.active_comps
+        comp_to_local = st.comp_to_local
+        num_components = st.num_components
+        frames_info = st.frames_info
+        pending = st.pending
+        if pending is None:
+            # Pallas window-claim path: resolve sparse-vs-dense now
+            ps = st.pallas
+            _tp = __import__("time").time()
+            n_claim = int(ps.cnt_c)
+            m1cnt_np = np.asarray(ps.m1cnt_all)
+            Fw, n_cap, claim_cap = ps.Fw, ps.n_cap, ps.claim_cap
+            pending = []
+            if n_claim > claim_cap:
+                # overflow — fall back to the dense drain (rare; cap is 4x
+                # the extracted count)
+                print(f"Cluster Tracking: claim compaction overflow "
+                      f"({n_claim} > {claim_cap}), dense drain")
+                comp_np_all = np.asarray(ps.comp_all).reshape(Fw, n_cap)
+                gt_np_all = np.asarray(ps.gt_all)
+                for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
+                    pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
+                                    comp_np_all[i], None,
+                                    gt_np_all[i] if len(b_idx) else None))
+            else:
+                pos_np = np.asarray(ps.pos_c)[:n_claim]
+                comp_np = np.asarray(ps.comp_c)[:n_claim]
+                gt_np = np.asarray(ps.gt_c)[:n_claim]
+                fi_np = pos_np // n_cap
+                row_np = pos_np % n_cap
+                for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
+                    mi = fi_np == i
+                    pending.append((fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx,
+                                    ("sparse", row_np[mi], comp_np[mi], gt_np[mi],
+                                     m1cnt_np[i]),
+                                    None, None))
+            self._tick("ex_drain", _tp)
         for fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx, comp_j, zsel, ref_gt_dev in pending:
             n_ref = len(ref_xyz)
             _tp = __import__("time").time()
@@ -1291,6 +1360,42 @@ class ClusterTracking:
                 if self._ds is not None else None
             )
 
+            import time as _time
+
+            use_pipeline = (
+                self.device_walk
+                and str(self.model_cfg.get("WALK_MODE", "batched")) == "batched"
+            )
+
+            def _finish_extract(stB):
+                """Complete a tracked frame: drain the extraction, save, and
+                print the window coverage (frame order is preserved — stages
+                drain in dispatch order)."""
+                st, fid, extracted_w = stB
+                _t0 = _time.time()
+                extracted_f, _ = self.extract_traces_finish(st, all_points, seq_boxes)
+                print(f"[Timer] Extract Traces {fid}: {_time.time() - _t0:.2f}s", flush=True)
+                if outfolder:
+                    with open(os.path.join(outfolder, f"{fid:03d}_{comp_key}.pkl"), "wb") as f:
+                        pickle.dump({k: v for k, v in extracted_f.items()}, f)
+                sb = (seq_boxes.frame >= fid - self.track_interval) & (
+                    seq_boxes.frame <= fid + self.track_interval
+                )
+                if sb.any():
+                    cov = float((seq_boxes.best_iou[sb] > 0.7).mean())
+                    print(
+                        f"segment [{fid - self.track_interval}, {fid + self.track_interval}]:"
+                        f" num_boxes={int(sb.sum())}, coverage={cov:.6f}"
+                    )
+
+            # two-deep software pipeline over tracked frames: while the
+            # device runs frame i's walk, the host finishes frame i-1's walk
+            # (assembly) and dispatches its trace extraction, then finishes
+            # frame i-2's extraction — tunnel latency and host prep hide
+            # behind device compute (the device queue stays walk_i,
+            # claims_{i-1}, walk_{i+1}, ...)
+            stageA = None  # (walk handle, frame_id, t_dispatch)
+            stageB = None  # (extract state, frame_id, extracted)
             for frame_id in range(0, num_frames, self.track_interval):
                 fm = seq_index.rows(frame_id)
                 if not len(fm):
@@ -1303,31 +1408,45 @@ class ClusterTracking:
                     segmentation_label=seq_points.segmentation_label[fm],
                     original_indices=fm,
                 )
-                import time as _time
-
-                _t0 = _time.time()
-                extracted = self.track_frame(seq_points, fr, seq_boxes, seq_index)
-                print(f"[Timer] Tracking Frame {frame_id}: {_time.time() - _t0:.2f}s", flush=True)
-                if extracted is None or len(extracted.fxyz) == 0:
+                if not use_pipeline:
+                    _t0 = _time.time()
+                    extracted = self.track_frame(seq_points, fr, seq_boxes, seq_index)
+                    print(f"[Timer] Tracking Frame {frame_id}: {_time.time() - _t0:.2f}s", flush=True)
+                    if extracted is None or len(extracted.fxyz) == 0:
+                        continue
+                    st = self.extract_traces_dispatch(all_points, extracted, seq_boxes)
+                    _finish_extract((st, frame_id, extracted))
                     continue
-                _t0 = _time.time()
-                extracted, seq_boxes = self.extract_traces_and_update_boxes(
-                    all_points, extracted, seq_boxes
-                )
-                print(f"[Timer] Extract Traces {frame_id}: {_time.time() - _t0:.2f}s", flush=True)
-                if outfolder:
-                    with open(os.path.join(outfolder, f"{frame_id:03d}_{comp_key}.pkl"), "wb") as f:
-                        pickle.dump({k: v for k, v in extracted.items()}, f)
 
-                sb = (seq_boxes.frame >= frame_id - self.track_interval) & (
-                    seq_boxes.frame <= frame_id + self.track_interval
-                )
-                if sb.any():
-                    cov = float((seq_boxes.best_iou[sb] > 0.7).mean())
-                    print(
-                        f"segment [{frame_id - self.track_interval}, {frame_id + self.track_interval}]:"
-                        f" num_boxes={int(sb.sum())}, coverage={cov:.6f}"
-                    )
+                _t0 = _time.time()
+                h = self.track_frame_batched_dispatch(seq_points, fr, seq_boxes, seq_index)
+                nxt = (h, frame_id, _t0) if h is not None else None
+                if stageA is not None:
+                    hA, fidA, tA = stageA
+                    extracted = self.track_frame_batched_finish(hA, seq_points)
+                    print(f"[Timer] Tracking Frame {fidA}: {_time.time() - tA:.2f}s", flush=True)
+                    if extracted is not None and len(extracted.fxyz):
+                        st = self.extract_traces_dispatch(all_points, extracted, seq_boxes)
+                        newB = (st, fidA, extracted)
+                    else:
+                        newB = None
+                    if stageB is not None:
+                        _finish_extract(stageB)
+                    stageB = newB
+                stageA = nxt
+            # drain the pipeline tail
+            if stageA is not None:
+                hA, fidA, tA = stageA
+                extracted = self.track_frame_batched_finish(hA, seq_points)
+                print(f"[Timer] Tracking Frame {fidA}: {_time.time() - tA:.2f}s", flush=True)
+                if extracted is not None and len(extracted.fxyz):
+                    st = self.extract_traces_dispatch(all_points, extracted, seq_boxes)
+                    if stageB is not None:
+                        _finish_extract(stageB)
+                    stageB = (st, fidA, extracted)
+            if stageB is not None:
+                _finish_extract(stageB)
+                stageB = None
 
         # reference prints the literal 'NA' when nothing moves (917-919)
         moving_miou = (

@@ -628,30 +628,47 @@ def _solve_outputs_jit(vox_bxyz, pillar_idx, min_z, height):
     )
 
 
-def _occupied_voxel_keys(point_fxyz, cell=(0.10, 0.10, 0.03)):
-    """Distinct packed cell keys at ``cell`` resolution, on HOST numpy.
+@functools.partial(jax.jit, static_argnames=("S",))
+def _count_voxel_levels_device(fxyz, n, S=6):
+    """Distinct occupied-cell counts at S dyadic coarsenings of the base
+    (0.10, 0.10, 0.03) solve grid, in ONE device program.
 
-    Used only to size the voxel table. This deliberately does NOT run on
-    device: the axon relay pays a multi-second (sometimes minutes-long,
-    queue-dependent) server-side finalization the first time each
-    executable runs, so every program removed from the bench path is
-    direct warmup savings."""
-    pts = np.asarray(point_fxyz)
-    xyz = pts[:, 1:4].astype(np.float64)
-    inv = 1.0 / np.asarray(cell, np.float64)
-    c = np.floor((xyz - xyz.min(axis=0)) * inv).astype(np.int64)
-    key = (c[:, 0] << 42) | (c[:, 1] << 21) | c[:, 2]  # each axis < 2^21
-    return np.unique(key)
-
-
-def _coarsen_keys(keys):
-    """Halve the grid resolution of packed keys WITHOUT revisiting the
-    point array: each axis floor-divides by 2 in packed space. At
-    reference scale this turns the solve-grid budget loop from repeated
-    35M-row np.unique passes (~3-5 s each) into ~n_occ-row passes."""
-    M = (1 << 21) - 1
-    cx, cy, cz = keys >> 42, (keys >> 21) & M, keys & M
-    return np.unique(((cx >> 1) << 42) | ((cy >> 1) << 21) | (cz >> 1))
+    Cell coords (each < 2^21) are Morton-interleaved into three int32 key
+    parts (7 axis bits per part); Morton order is MONOTONE under dyadic
+    coarsening (level s drops the 3s lowest interleaved bits), so one sort
+    yields every level's count as a prefix-difference sum. Replaces the
+    host np.unique passes that cost 2-12 s per 9M-point sequence (counts
+    only size the voxel table — the old host path at preprocessor_utils.py
+    :369 sizing semantics are unchanged)."""
+    xyz = fxyz[:, 1:4]
+    n_pad = xyz.shape[0]
+    m = jnp.arange(n_pad, dtype=jnp.int32) < n
+    big = jnp.asarray(3e38, xyz.dtype)
+    mn = jnp.min(jnp.where(m[:, None], xyz, big), axis=0)
+    inv = 1.0 / jnp.asarray([0.10, 0.10, 0.03], xyz.dtype)
+    c = jnp.floor((xyz - mn) * inv).astype(jnp.int32)
+    c = jnp.clip(c, 0, (1 << 21) - 1)
+    # pads duplicate row 0's cell: no effect on the distinct count
+    c = jnp.where(m[:, None], c, c[0])
+    keys = []
+    for part in range(3):  # hi (axis bits 14-20), mid (7-13), lo (0-6)
+        sh = 14 - 7 * part
+        k = jnp.zeros_like(c[:, 0])
+        for b in range(7):
+            k = (
+                k
+                | (((c[:, 0] >> (sh + b)) & 1) << (3 * b + 2))
+                | (((c[:, 1] >> (sh + b)) & 1) << (3 * b + 1))
+                | (((c[:, 2] >> (sh + b)) & 1) << (3 * b))
+            )
+        keys.append(k)
+    hi, mid, lo = jax.lax.sort(tuple(keys), num_keys=3)
+    dh = (hi[1:] != hi[:-1]) | (mid[1:] != mid[:-1])
+    counts = []
+    for s in range(S):
+        dl = (lo[1:] >> (3 * s)) != (lo[:-1] >> (3 * s))
+        counts.append(jnp.sum((dh | dl).astype(jnp.int32)) + 1)
+    return jnp.stack(counts)
 
 
 class GroundPlaneRemover:
@@ -685,18 +702,35 @@ class GroundPlaneRemover:
         # between HBM-bound and compute-bound.
         from ..utils.padding import bucket_size
 
+        # the raw sequence upload doubles as the pipeline's resident table:
+        # downstream stages get device-COMPACTED views (utils/device_seq)
+        # instead of re-uploading filtered copies through the tunnel
+        from ..utils.device_seq import DeviceSeq
+
+        ds_raw = DeviceSeq(pts_np, pts_np[:, 0].astype(np.int64))
+        n = pts_np.shape[0]
+        if ds_raw.ok:
+            fxyz0 = ds_raw.flat[:n].at[:, 0].set(0.0)  # frame-agnostic
+        else:
+            fxyz0_np = pts_np.astype(np.float32, copy=True)
+            fxyz0_np[:, 0] = 0.0
+            fxyz0 = jnp.asarray(fxyz0_np)
+        self._ds_raw = ds_raw if ds_raw.ok else None
+        _tp = self._tick("h2d", _tp)
+
         # at reference scale (210 sweeps, ~35M points) the 10 cm table
         # outgrows HBM inside the fused solver — coarsen the SOLVE grid
-        # until it fits a fixed budget; per-point heights stay full-res
+        # until it fits a fixed budget; per-point heights stay full-res.
+        # Counts for every coarsening level come from ONE device sort
+        # (Morton keys), replacing 2-12 s of host np.unique per sequence.
         solve_cap = int(cfg.get("SOLVE_VOX_CAP", 1 << 21))
-        cell = (0.10, 0.10, 0.03)
-        keys = _occupied_voxel_keys(pts_np, cell)
-        n_occ = len(keys)
-        while n_occ > solve_cap:
-            cell = tuple(c * 2.0 for c in cell)
-            keys = _coarsen_keys(keys)
-            n_occ = len(keys)
-        if cell != (0.10, 0.10, 0.03):
+        S = 6
+        counts = np.asarray(_count_voxel_levels_device(
+            fxyz0, jnp.asarray(n, jnp.int32), S=S))
+        s = next((i for i in range(S) if int(counts[i]) <= solve_cap), S - 1)
+        n_occ = int(counts[s])
+        cell = tuple(c * (2.0 ** s) for c in (0.10, 0.10, 0.03))
+        if s:
             print(f"Ground Removal: solve grid coarsened to {cell[0]:.2f} m "
                   f"({n_occ} cells; SOLVE_VOX_CAP={solve_cap})")
 
@@ -710,22 +744,6 @@ class GroundPlaneRemover:
         dims = np.floor(extent / np.asarray(pillar_size)).astype(int) + 1
         # bucket to multiples of 8 to bound recompilation
         dims = (int(np.ceil(dims[0] / 8) * 8), int(np.ceil(dims[1] / 8) * 8))
-
-        # the raw sequence upload doubles as the pipeline's resident table:
-        # downstream stages get device-COMPACTED views (utils/device_seq)
-        # instead of re-uploading filtered copies through the tunnel
-        from ..utils.device_seq import DeviceSeq
-
-        ds_raw = DeviceSeq(pts_np, pts_np[:, 0].astype(np.int64))
-        if ds_raw.ok:
-            n = pts_np.shape[0]
-            fxyz0 = ds_raw.flat[:n].at[:, 0].set(0.0)  # frame-agnostic
-        else:
-            fxyz0_np = pts_np.astype(np.float32, copy=True)
-            fxyz0_np[:, 0] = 0.0
-            fxyz0 = jnp.asarray(fxyz0_np)
-        self._ds_raw = ds_raw if ds_raw.ok else None
-        _tp = self._tick("h2d", _tp)
 
         if warmup is not None:
             vox = grid_utils.grid_sample_mean(fxyz0, list(cell), num_voxels_cap=vox_cap)

@@ -471,7 +471,7 @@ _GLOBAL_KEYS = ("transforms", "comp_velos", "comp_centers", "comp_center_diffs",
                 "reg_errors", "edge_ratios", "extract_comp", "reach_min", "reach_max")
 
 
-def track_window_batched(
+def track_window_batched_dispatch(
     window_xyz, window_valid, window_stationary, comp_xyz, comp_pmask,
     comp_valid0, comp_diameter, comp_deg,
     interval, levels, num_candidates,
@@ -479,11 +479,16 @@ def track_window_batched(
     min_move_frame, max_icp_iter=80, sel_margin=6.0,
     comp_ext=None, ext_mask=None, frame_nonempty=None,
 ):
-    """Host-driven walk over the compiled batched step (both directions).
+    """Dispatch the walk (both directions) WITHOUT reading anything back.
+
+    Returns the dict of device arrays (D2H copies already started) for
+    track_window_batched_drain — the dispatch/drain split lets the caller
+    software-pipeline tracked frames: while the device crunches frame i's
+    walk, the host assembles frame i-1's results and dispatches its trace
+    extraction, so tunnel latency and host prep hide behind device compute.
 
     window_*: [W, N(,3)] frame tables with anchor at slot ``interval``;
     comp_xyz/comp_pmask: [C, P(,3)] packed anchor points per component.
-    Returns the dict consumed by ClusterTracking.track_frame_batched.
     """
     W = 2 * interval + 1
     C = comp_xyz.shape[0]
@@ -562,9 +567,15 @@ def track_window_batched(
         (g["reach_max"] >= anchor_pos + min_move_frame)
         | (g["reach_min"] <= anchor_pos - min_move_frame)
     )
-    _t0 = __import__("time").time()
     g["moving"] = moving_final
     g["valid_final"] = valid_final
+    # lean wire format: only what the caller consumes crosses the tunnel,
+    # and the [W, N] claim table ships as int16 (component ids are bounded
+    # by the per-frame component cap, far below 2^15)
+    assert C < 32767, "int16 extract_comp wire overflow"
+    g["extract_comp"] = g["extract_comp"].astype(jnp.int16)
+    for k in ("comp_velos", "comp_centers", "comp_center_diffs"):
+        g.pop(k)
     # ONE latency for the whole drain: start every D2H copy, then collect
     # (per-array np.asarray would pay the tunnel round-trip 12x)
     for v in g.values():
@@ -572,6 +583,18 @@ def track_window_batched(
             v.copy_to_host_async()
         except AttributeError:
             pass
+    return g
+
+
+def track_window_batched_drain(g):
+    """Block on the walk outputs started by track_window_batched_dispatch."""
+    _t0 = __import__("time").time()
     out = {k: np.asarray(v) for k, v in g.items()}
     _tick("walk_drain", _t0)
     return out
+
+
+def track_window_batched(*args, **kwargs):
+    """Dispatch + drain in one call (tests / non-pipelined callers)."""
+    return track_window_batched_drain(
+        track_window_batched_dispatch(*args, **kwargs))
