@@ -42,6 +42,12 @@ from .tracking_device import _smooth_velos
 _HI = jax.lax.Precision.HIGHEST
 _BIG = 1e8
 
+# profiling-only ablations (PCSEQ_WALK_ABLATE=nosmooth|noext), read at trace
+# time — used to attribute walk-step device cost, never in production runs
+import os as _os
+
+_ABLATE = _os.environ.get("PCSEQ_WALK_ABLATE", "")
+
 # wall-time breakdown of the walk (cumulative; reset externally)
 PROF = {}
 
@@ -385,8 +391,9 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     lo = jnp.minimum(anchor_pos + track_dir, pos)
     hi = jnp.maximum(anchor_pos + track_dir, pos)
     span = (w_idx >= lo) & (w_idx <= hi)
-    sm = _smooth_velos(comp_velos, comp_center_diffs, span)
-    comp_velos = jnp.where(active, sm, comp_velos)
+    if _ABLATE != "nosmooth":
+        sm = _smooth_velos(comp_velos, comp_center_diffs, span)
+        comp_velos = jnp.where(active, sm, comp_velos)
     delta = comp_velos[:, pos_c] - velo
     velo = comp_velos[:, pos_c]
     cur_pts = cur_pts + (delta * track_dir * active)[:, None, :]
@@ -424,6 +431,14 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     # nearest component CENTERS (updated post-ICP), then the exact
     # point-to-moved-tile distance decides — O(N * 2 * P), independent of
     # the candidate budget Q.
+    if _ABLATE == "noext":
+        reg_errors = reg_errors.at[:, pos_c].set(jnp.where(active, l1_err, reg_errors[:, pos_c]))
+        edge_ratios = edge_ratios.at[:, pos_c].set(jnp.where(active, edge_ratio, edge_ratios[:, pos_c]))
+        return (
+            cur_pts, last_center_new, new_stopped, new_moving, velo, jnp.asarray(True),
+            transforms, comp_velos, comp_centers, comp_center_diffs,
+            reg_errors, edge_ratios, extract_comp, reach_min, reach_max,
+        )
     centers_post = last_center_new
     c2p = jnp.sum(centers_post * centers_post, axis=-1)
     d2cn_post = c2p[:, None] + n2[None, :] - 2.0 * jnp.matmul(

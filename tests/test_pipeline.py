@@ -155,3 +155,28 @@ def test_ground_removal_ransac(seq_dict, tmp_path):
     heights = np.asarray(out["full_point_height"])
     ground_pts = seq_dict["segmentation_label"] == 17
     assert np.median(np.abs(heights[ground_pts])) < 0.3
+
+
+def test_voxel_count_scatter_matches_unique(rng):
+    """The scatter-based occupancy counter (ground solve-grid sizing) must
+    match host np.unique at every dyadic coarsening level it evaluates."""
+    import jax.numpy as jnp
+    from pcseqlearning_tpu.preprocessing.ground_removal import (
+        _COUNT_TABLE_CAP, _count_voxels_scatter)
+
+    pts = rng.rand(30000, 3).astype(np.float32) * np.array([35, 35, 4], np.float32)
+    fx = np.concatenate([np.zeros((30000, 1), np.float32), pts], axis=1)
+    base = np.array([0.10, 0.10, 0.03])
+    ext = pts.max(0) - pts.min(0)
+    for s in range(3):
+        cell = base * 2.0 ** s
+        dims = np.floor(ext / cell).astype(np.int64) + 1
+        assert dims.prod() <= _COUNT_TABLE_CAP
+        got = int(_count_voxels_scatter(
+            jnp.asarray(fx), jnp.asarray(30000, jnp.int32),
+            jnp.asarray(1.0 / cell, jnp.float32), jnp.asarray(dims, jnp.int32),
+            _COUNT_TABLE_CAP))
+        c = np.floor((pts - pts.min(0)) / cell).astype(np.int64)
+        want = len(np.unique(c[:, 0] * (1 << 42) + c[:, 1] * (1 << 21) + c[:, 2]))
+        # f32-vs-f64 boundary jitter only (count sizes a padded table)
+        assert abs(got - want) <= max(3, int(0.002 * want)), (s, got, want)
