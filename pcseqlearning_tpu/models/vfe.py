@@ -490,12 +490,15 @@ class ImageVFE(nn.Module):
         batch_dict["image_downsample"] = H // h
 
         # dense voxel grid centers
-        pc_min = jnp.asarray(self.point_cloud_range[:3], jnp.float32)
-        pc_max = jnp.asarray(self.point_cloud_range[3:], jnp.float32)
-        vs = jnp.asarray(self.voxel_size, jnp.float32)
-        nx = int(round(float((pc_max[0] - pc_min[0]) / vs[0])))
-        ny = int(round(float((pc_max[1] - pc_min[1]) / vs[1])))
-        nz = int(round(float((pc_max[2] - pc_min[2]) / vs[2])))
+        # grid dims from the STATIC config floats (shapes must be concrete
+        # under jit; jnp constants become tracers inside a traced fn)
+        pcr = [float(v) for v in self.point_cloud_range]
+        vs_py = [float(v) for v in self.voxel_size]
+        pc_min = jnp.asarray(pcr[:3], jnp.float32)
+        vs = jnp.asarray(vs_py, jnp.float32)
+        nx = int(round((pcr[3] - pcr[0]) / vs_py[0]))
+        ny = int(round((pcr[4] - pcr[1]) / vs_py[1]))
+        nz = int(round((pcr[5] - pcr[2]) / vs_py[2]))
         ix = jnp.arange(nx); iy = jnp.arange(ny); iz = jnp.arange(nz)
         gz, gy, gx = jnp.meshgrid(iz, iy, ix, indexing="ij")
         centers = jnp.stack([

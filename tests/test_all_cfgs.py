@@ -37,8 +37,8 @@ _TEST_CAP_CLAMPS = {
     "WINDOW_SIZE": 4,
     "NUM_KEYPOINTS": 128,
     "DIM": 32,
-    "POINT_CAP": 2048,
-    "VOXEL_CAP": 2048,
+    "POINT_CAP": 1024,
+    "VOXEL_CAP": 1024,
 }
 
 
@@ -93,9 +93,25 @@ def test_detector_cfg_builds_and_runs(path):
         batch["images"] = jnp.asarray(rng.rand(2, 48, 64, 3).astype(np.float32))
         batch["calib_K"] = jnp.asarray(K)
         batch["calib_T"] = jnp.asarray(np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4)))
-    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
-    out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"])
-    losses = out["losses"]
+    # jit init+apply: eager op-by-op dispatch costs ~50 s/model on this
+    # 1-CPU box; as ONE program each, the persistent compile cache makes
+    # warm suite runs cheap. batch_size stays a Python int via closure
+    # (model code uses it for shapes).
+    arrs = {k: v for k, v in batch.items() if k != "batch_size"}
+
+    @jax.jit
+    def _init(rng_key, arrs):
+        return model.init(rng_key, dict(arrs, batch_size=2), train=True)
+
+    @jax.jit
+    def _fwd(variables, arrs):
+        out, _ = model.apply(
+            variables, dict(arrs, batch_size=2), train=True, mutable=["batch_stats"]
+        )
+        return out["losses"]
+
+    variables = _init(jax.random.PRNGKey(0), arrs)
+    losses = _fwd(variables, arrs)
     total = sum(float(v) for k, v in losses.items() if k.endswith("loss"))
     assert np.isfinite(total), (path, {k: float(v) for k, v in losses.items()})
     if "ROI_HEAD" in c.MODEL:
