@@ -24,7 +24,14 @@ def _enable_compilation_cache():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        # out-of-repo default: a `git clean -fdx` between rounds must not
+        # wipe ~800 s of accumulated compiles (repo .jax_cache is gitignored
+        # but lives inside the tree)
+        cache_dir = os.environ.get(
+            "PCSEQ_CACHE_DIR",
+            os.path.expanduser("~/.cache/pcseqlearning_tpu/jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -17,7 +17,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    os.environ.get("PCSEQ_CACHE_DIR",
+                   os.path.expanduser("~/.cache/pcseqlearning_tpu/jax_cache")),
 )
 # 0.1 s: on this 1-CPU box mid-size compiles dominate suite wall time and
 # deserialization is ~10-50 ms — cache nearly everything
