@@ -682,20 +682,26 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
             fxyz0, jnp.asarray(n, jnp.int32), S=S))
         s = next((i for i in range(S) if int(counts[i]) <= solve_cap), S - 1)
         return s, int(counts[s])
-    pend = []
-    for s, dims in cands:
+    # each count is a full scatter pass over the point table (~4 s at the
+    # 35M-point reference scale), and counts ascend fine -> coarse with the
+    # FIRST fitting level winning — dispatch candidates in pairs and stop
+    # reading (and dispatching) at the first fit instead of paying every
+    # candidate's pass up front
+    def _dispatch(s, dims):
         inv = jnp.asarray(1.0 / (base * (2.0 ** s)), jnp.float32)
-        cnt = _count_voxels_scatter(
+        return _count_voxels_scatter(
             fxyz0, jnp.asarray(n, jnp.int32), inv,
             jnp.asarray(dims, jnp.int32), _COUNT_TABLE_CAP)
-        pend.append((s, cnt))
-        if n <= solve_cap:
-            break  # first fitting level's count <= n <= cap: it wins
-    for s, cnt in pend:
-        c = int(cnt)
-        if c <= solve_cap:
-            return s, c
-    return pend[-1][0], int(pend[-1][1])
+
+    last = None
+    for i in range(0, len(cands), 2):
+        pend = [(s, _dispatch(s, dims)) for s, dims in cands[i: i + 2]]
+        for s, cnt in pend:
+            c = int(cnt)
+            last = (s, c)
+            if c <= solve_cap or n <= solve_cap:
+                return s, c
+    return last
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
