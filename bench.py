@@ -97,7 +97,10 @@ def main():
     # Waymo sweep.
     num_frames = int(os.environ.get("BENCH_FRAMES", 100))
     points_per_frame = int(os.environ.get("BENCH_POINTS", 90_000))
-    num_passes = int(os.environ.get("BENCH_PASSES", 2))
+    # 3 passes: the tunneled TPU is shared and identical code swings up to
+    # 10x under tenant bursts — best-of-3 makes the reported steady state
+    # robust to one noisy pass for ~30 s of extra wall
+    num_passes = int(os.environ.get("BENCH_PASSES", 3))
     print(f"# scene: {num_frames} frames x {points_per_frame} pts", flush=True)
     seq, gt = make_scene(num_frames=num_frames, points_per_frame=points_per_frame)
     seq_dict = {
