@@ -446,6 +446,10 @@ def _cc_rounds(state, n, W, Bq=256, max_rounds=24, interpret=False):
     nb = m_pad // Bq
     W_k = W + 128
     n_pad = max(-(-n // 128) * 128, W_k, m_pad)
+    # row 3 carries the LABELS (f32-exact slot positions, < 2^24): each
+    # round rewrites just that row, so the kernel needs ONE window DMA per
+    # probe instead of separate coord+label table copies — half the
+    # per-round DMA traffic, which is what the rounds are bound by
     table = jnp.full((8, n_pad), 3e38, jnp.float32)
     table = table.at[0:3, :n].set(sl_xyz[:n].T)
 
@@ -464,14 +468,16 @@ def _cc_rounds(state, n, W, Bq=256, max_rounds=24, interpret=False):
 
     def round_body(carry):
         l, _, it = carry
-        ltab = jnp.zeros((8, n_pad), jnp.float32).at[0, :m_pad].set(
-            l.astype(jnp.float32))
+        tbl = table.at[3, :m_pad].set(l.astype(jnp.float32))
         out = _cc_kernel_call(
-            win_start, r2, table, ltab, qB, bpad,
+            win_start, r2, tbl, qB, bpad,
             nb=nb, Bq=Bq, W=W_k, interpret=interpret,
         )  # [nb, Bq, 8] f32
         l_new = jnp.minimum(l, out[:, :, 0].reshape(m_pad).astype(jnp.int32))
-        # pointer jumping (labels are slot positions)
+        # pointer jumping (labels are slot positions); three hops compress
+        # chains up to 8 deep per kernel round — each hop is a ~m_pad
+        # gather, orders of magnitude cheaper than a scan round
+        l_new = l_new[l_new]
         l_new = l_new[l_new]
         l_new = l_new[l_new]
         return l_new, jnp.any(l_new != l), it + 1
@@ -539,7 +545,7 @@ def connected_components_radius(
                       interpret=interpret)
 
 
-def _cc_kernel_call(win_start, r2, table, ltab, qB, bounds, *, nb, Bq, W,
+def _cc_kernel_call(win_start, r2, table, qB, bounds, *, nb, Bq, W,
                     interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -549,8 +555,10 @@ def _cc_kernel_call(win_start, r2, table, ltab, qB, bounds, *, nb, Bq, W,
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # coord table, HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # label table, HBM
+            # combined table, HBM: rows 0-2 coords, row 3 labels — one
+            # window DMA serves both (labels used to ride a second table
+            # whose 8xW copies doubled the per-round DMA traffic)
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, Bq, 8), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bq, 8), lambda b, *_: (b, 0, 0),
@@ -560,8 +568,7 @@ def _cc_kernel_call(win_start, r2, table, ltab, qB, bounds, *, nb, Bq, W,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((3, 8, W), jnp.float32),
-            pltpu.VMEM((3, 8, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
@@ -569,11 +576,11 @@ def _cc_kernel_call(win_start, r2, table, ltab, qB, bounds, *, nb, Bq, W,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, Bq, 8), jnp.float32),
         interpret=interpret,
-    )(win_start, r2.reshape(1), table, ltab, qB, bounds)
+    )(win_start, r2.reshape(1), table, qB, bounds)
 
 
-def _cc_kernel(wstart_ref, r2_ref, table_ref, ltab_ref, q_ref, bounds_ref,
-               out_ref, win_scratch, lbl_scratch, dma_sems, *, Bq, W):
+def _cc_kernel(wstart_ref, r2_ref, table_ref, q_ref, bounds_ref,
+               out_ref, win_scratch, dma_sems, *, Bq, W):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -583,15 +590,11 @@ def _cc_kernel(wstart_ref, r2_ref, table_ref, ltab_ref, q_ref, bounds_ref,
     copies = []
     for dx in range(3):
         ws = pl.multiple_of(wstart_ref[b * 3 + dx], 128)
-        c1 = pltpu.make_async_copy(
+        cp = pltpu.make_async_copy(
             table_ref.at[:, pl.ds(ws, W)], win_scratch.at[dx],
             dma_sems.at[dx])
-        c2 = pltpu.make_async_copy(
-            ltab_ref.at[:, pl.ds(ws, W)], lbl_scratch.at[dx],
-            dma_sems.at[3 + dx])
-        c1.start()
-        c2.start()
-        copies.append((c1, c2))
+        cp.start()
+        copies.append(cp)
 
     q = q_ref[0]
     qx = q[:, 0:1]
@@ -601,10 +604,9 @@ def _cc_kernel(wstart_ref, r2_ref, table_ref, ltab_ref, q_ref, bounds_ref,
 
     minv = jnp.full((Bq, 1), _BIG, jnp.float32)
     for dx in range(3):
-        copies[dx][0].wait()
-        copies[dx][1].wait()
+        copies[dx].wait()
         win = win_scratch[dx]
-        lw = lbl_scratch[dx][0:1, :]  # [1, W]
+        lw = win[3:4, :]  # [1, W] labels ride row 3 of the same window
         ws = wstart_ref[b * 3 + dx]
         ddx = qx - win[0:1, :]
         ddy = qy - win[1:2, :]

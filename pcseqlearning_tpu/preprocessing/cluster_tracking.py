@@ -949,6 +949,52 @@ class ClusterTracking:
         self._ftab_key = key
         return self._ftab
 
+    def _box_table(self, all_points, seq_boxes):
+        """Per-frame box assignment + per-box counts of the FULL-RES cloud,
+        computed ONCE per sequence: a frame is re-claimed by ~2 overlapping
+        tracked windows, and its box assignment depends only on (frame, its
+        boxes) — so the per-window _box_assign_batch2 dispatches were ~2.2x
+        redundant device work on the extraction's critical path (reference
+        membership test: cluster_tracking.py:382-401). Returns
+        EDict(gt [F, n_cap] i16, m1 [F, b_cap] i32, b_cap) or None."""
+        ftab = self._frame_table(all_points)
+        if ftab is None:
+            return None
+        key = (self._ftab_key, id(seq_boxes))
+        if getattr(self, "_boxtab_key", None) == key:
+            return self._boxtab
+        row_of, qx_dev, qv_dev, n_cap = ftab
+        F = int(qx_dev.shape[0])
+        fr = seq_boxes.frame.astype(np.int64)
+        max_b = int(np.bincount(fr).max()) if len(fr) else 1
+        b_cap = int(bucket_size(max(max_b, 1), base=32))
+        boxes_np = np.zeros((F, b_cap, 7), np.float32)
+        bval_np = np.zeros((F, b_cap), bool)
+        for fid, row in row_of.items():
+            b_idx = np.nonzero(fr == fid)[0]
+            if len(b_idx):
+                boxes_np[row, : len(b_idx)] = seq_boxes.attr[b_idx]
+                bval_np[row, : len(b_idx)] = True
+        bx = jnp.asarray(boxes_np)
+        bv = jnp.asarray(bval_np)
+        # chunk the frame axis so the [step, b_cap, n_cap] membership
+        # temporaries stay bounded (~2 compiled shapes per sequence)
+        step = 32
+        gt_parts, m1_parts = [], []
+        for i0 in range(0, F, step):
+            i1 = min(i0 + step, F)
+            g, m1 = _box_assign_batch2(
+                qx_dev[i0:i1, :, 1:4], bx[i0:i1], bv[i0:i1])
+            gt_parts.append(g)
+            m1_parts.append(m1)
+        self._boxtab = EDict(
+            gt=jnp.concatenate(gt_parts, axis=0),
+            m1=jnp.concatenate(m1_parts, axis=0),
+            b_cap=b_cap,
+        )
+        self._boxtab_key = key
+        return self._boxtab
+
     def extract_traces_and_update_boxes(self, all_points, extracted, seq_boxes):
         """Re-extract member points from the full-resolution cloud and update
         per-box best IoU (reference extract_traces_and_update_boxes,
@@ -1046,13 +1092,17 @@ class ClusterTracking:
                     qx_np[i, :nr, 1:4] = ref_xyz
                     qv_np[i, :nr] = True
                 qx_all, qv_all = jnp.asarray(qx_np), jnp.asarray(qv_np)
-            b_cap = bucket_size(max_box, base=32)
-            boxes_all = np.zeros((Fw, b_cap, 7), np.float32)
-            bval_all = np.zeros((Fw, b_cap), bool)
-            for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
-                if len(b_idx):
-                    boxes_all[i, : len(b_idx)] = seq_boxes.attr[b_idx]
-                    bval_all[i, : len(b_idx)] = True
+            boxtab = self._box_table(all_points, seq_boxes) if ftab is not None else None
+            if boxtab is None:
+                b_cap = bucket_size(max_box, base=32)
+                boxes_all = np.zeros((Fw, b_cap, 7), np.float32)
+                bval_all = np.zeros((Fw, b_cap), bool)
+                for i, (fid, rm, ref_xyz, ex_xyz, ex_comp, ex_mov, b_idx) in enumerate(frames_info):
+                    if len(b_idx):
+                        boxes_all[i, : len(b_idx)] = seq_boxes.attr[b_idx]
+                        bval_all[i, : len(b_idx)] = True
+            else:
+                b_cap = boxtab.b_cap
             E = len(extracted.fxyz)
             E_cap = bucket_size(E)
             refs, rvalid = pad_rows(extracted.fxyz.astype(np.float32), E_cap, fill=1e8)
@@ -1072,10 +1122,16 @@ class ClusterTracking:
                 jnp.asarray(claim_r, jnp.float32),
                 F=2 * self.track_interval + 1, X=XY, Y=XY,
             )
-            gt_all, m1cnt_all = _box_assign_batch2(
-                jnp.asarray(qx_all[..., 1:4]), jnp.asarray(boxes_all),
-                jnp.asarray(bval_all),
-            )
+            if boxtab is not None:
+                # per-frame assignments precomputed once per sequence —
+                # this window's tables are device row gathers
+                gt_all = boxtab.gt[rows]
+                m1cnt_all = boxtab.m1[rows]
+            else:
+                gt_all, m1cnt_all = _box_assign_batch2(
+                    jnp.asarray(qx_all[..., 1:4]), jnp.asarray(boxes_all),
+                    jnp.asarray(bval_all),
+                )
             # claims are sparse: compact them on device and ship only the
             # claiming rows (the dense [Fw, n_cap] tables cost ~15 MB per
             # tracked frame over the ~50 MB/s tunnel)
@@ -1299,8 +1355,13 @@ class ClusterTracking:
         # full-resolution, above-ground points for trace extraction
         if "full_point_fxyz" in seq_dict:
             f_fxyz = np.asarray(seq_dict["full_point_fxyz"])
-            f_height = np.asarray(seq_dict["full_point_height"]).reshape(-1)
-            keep = f_height > 0.0
+            if "full_point_keep0" in seq_dict:
+                # ground ships the height>0 mask as a host bool (1 B/point)
+                # so the f32 heights never cross the tunnel in the hot path
+                keep = np.asarray(seq_dict["full_point_keep0"]).reshape(-1)
+            else:
+                f_height = np.asarray(seq_dict["full_point_height"]).reshape(-1)
+                keep = f_height > 0.0
             all_points = EDict(
                 xyz=f_fxyz[keep][:, 1:4].astype(np.float32),
                 frame=np.asarray(seq_dict["full_point_sweep"]).reshape(-1).astype(int)[keep],
@@ -1325,6 +1386,7 @@ class ClusterTracking:
         # height>0 full-res table from the ground stage (extraction claims)
         self._ds_all = seq_dict.get("_dev_seq_all")
         self._ftab_key = None
+        self._boxtab_key = None
         sequence_id = str(seq_dict.get("frame_id", "seq"))[:-4] or "seq"
         outfolder = os.path.join(self.model_cfg.DIR, sequence_id) if "DIR" in self.model_cfg else None
         if outfolder:

@@ -651,57 +651,95 @@ def _count_voxels_scatter(fxyz, n, inv_cell, dims, cap):
     return jnp.sum((occ > 0).astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("heights",))
+def _height_codes(height, heights):
+    """Pack the per-threshold ground masks into one uint8 per point:
+    bit i = height < heights[i], bit 7 = height > 0. The host reads these
+    codes (1 B/point) instead of the f32 heights (4 B/point)."""
+    code = (height > 0.0).astype(jnp.uint8) << 7
+    for i, h in enumerate(heights):
+        code = code | ((height < h).astype(jnp.uint8) << i)
+    return code
+
+
 _COUNT_TABLE_CAP = 1 << 29  # 537 MB int8, transient
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "n_levels"))
+def _count_voxel_hier(fxyz, n, inv_cell, dims, n_levels):
+    """Distinct occupied-cell counts at ``n_levels`` dyadic coarsenings of
+    one base cell, from a SINGLE pass over the points.
+
+    The points are scattered once into a dense int8 occupancy table at the
+    finest level; each coarser level's table is a 2x2x2 max-pool of the
+    previous TABLE (floor-division nesting makes the pooled occupancy
+    exactly the coarser level's occupancy). Point passes are element-rate
+    bound (~4 s at the 35M-point reference scale); table pools ride HBM
+    bandwidth (~ms at 537 MB) — so this replaces up to four point passes
+    with one. ``dims`` must be static multiples of 2**(n_levels-1)."""
+    xyz = fxyz[:, 1:4]
+    n_pad = xyz.shape[0]
+    m = jnp.arange(n_pad, dtype=jnp.int32) < n
+    big = jnp.asarray(3e38, xyz.dtype)
+    mn = jnp.min(jnp.where(m[:, None], xyz, big), axis=0)
+    c = jnp.floor((xyz - mn) * inv_cell[None, :]).astype(jnp.int32)
+    dims_a = jnp.asarray(dims, jnp.int32)
+    c = jnp.clip(c, 0, dims_a[None, :] - 1)
+    lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+    # pads duplicate row 0's cell: no effect on the distinct count
+    lin = jnp.where(m, lin, lin[0])
+    occ = jnp.zeros(dims[0] * dims[1] * dims[2], jnp.int8).at[lin].max(
+        jnp.int8(1), mode="drop"
+    ).reshape(dims)
+    counts = [jnp.sum(occ, dtype=jnp.int32)]
+    for _ in range(n_levels - 1):
+        X, Y, Z = occ.shape
+        occ = occ.reshape(X // 2, 2, Y // 2, 2, Z // 2, 2).max(axis=(1, 3, 5))
+        counts.append(jnp.sum(occ, dtype=jnp.int32))
+    return jnp.stack(counts)
 
 
 def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
     """Pick the finest dyadic coarsening of the (0.10, 0.10, 0.03) solve
     grid whose occupied-cell count fits ``solve_cap``; returns (s, n_occ).
 
-    Strategy: levels whose dense cell table fits _COUNT_TABLE_CAP are
-    counted exactly with _count_voxels_scatter (all candidate levels
-    dispatched async, read together). Finer levels with oversized tables
-    are treated as over-cap — they only arise when the extent is huge at
-    at a fine cell, where the count exceeds any practical solve_cap anyway
-    (sizing heuristic only; the reference always solves at fixed 10 cm,
-    preprocessor_utils.py:369 — coarsening is this port's HBM budget
-    mechanism). Falls back to the exact Morton-sort counter when no level
-    fits (pathological extents)."""
+    Strategy: find the finest level whose (padded) dense cell table fits
+    _COUNT_TABLE_CAP, then count it AND every coarser level in one device
+    pass (_count_voxel_hier: scatter once, max-pool the table per level).
+    Finer levels with oversized tables are treated as over-cap — they only
+    arise when the extent is huge at a fine cell, where the count exceeds
+    any practical solve_cap anyway (sizing heuristic only; the reference
+    always solves at fixed 10 cm, preprocessor_utils.py:369 — coarsening is
+    this port's HBM budget mechanism). Falls back to the exact Morton-sort
+    counter when no level fits (pathological extents)."""
     ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
     base = np.asarray([0.10, 0.10, 0.03])
-    cands = []
+    chosen = None
     for s in range(S):
         cell = base * (2.0 ** s)
         dims = np.floor(ext / cell).astype(np.int64) + 1
-        if int(dims.prod()) <= _COUNT_TABLE_CAP:
-            cands.append((s, dims))
-        if len(cands) >= 4:
+        n_lv = S - s
+        # pad each dim so every pooled level divides evenly, and bucket to
+        # multiples of 8*2^(n_lv-1) to bound recompiles across sequences
+        mult = (1 << (n_lv - 1)) * 8
+        dims_p = (dims + mult - 1) // mult * mult
+        if int(dims_p.prod()) <= _COUNT_TABLE_CAP:
+            chosen = (s, tuple(int(d) for d in dims_p), n_lv)
             break
-    if not cands:
+    if chosen is None:
         counts = np.asarray(_count_voxel_levels_device(
             fxyz0, jnp.asarray(n, jnp.int32), S=S))
         s = next((i for i in range(S) if int(counts[i]) <= solve_cap), S - 1)
         return s, int(counts[s])
-    # each count is a full scatter pass over the point table (~4 s at the
-    # 35M-point reference scale), and counts ascend fine -> coarse with the
-    # FIRST fitting level winning — dispatch candidates in pairs and stop
-    # reading (and dispatching) at the first fit instead of paying every
-    # candidate's pass up front
-    def _dispatch(s, dims):
-        inv = jnp.asarray(1.0 / (base * (2.0 ** s)), jnp.float32)
-        return _count_voxels_scatter(
-            fxyz0, jnp.asarray(n, jnp.int32), inv,
-            jnp.asarray(dims, jnp.int32), _COUNT_TABLE_CAP)
-
-    last = None
-    for i in range(0, len(cands), 2):
-        pend = [(s, _dispatch(s, dims)) for s, dims in cands[i: i + 2]]
-        for s, cnt in pend:
-            c = int(cnt)
-            last = (s, c)
-            if c <= solve_cap or n <= solve_cap:
-                return s, c
-    return last
+    s0, dims0, n_lv = chosen
+    inv = jnp.asarray(1.0 / (base * (2.0 ** s0)), jnp.float32)
+    counts = np.asarray(_count_voxel_hier(
+        fxyz0, jnp.asarray(n, jnp.int32), inv, dims0, n_lv))
+    for i in range(n_lv):
+        c = int(counts[i])
+        if c <= solve_cap or n <= solve_cap:
+            return s0 + i, c
+    return s0 + n_lv - 1, int(counts[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("S",))
@@ -913,25 +951,51 @@ class GroundPlaneRemover:
         seq_dict["point_horizon"] = point_horizon
         seq_dict["point_error"] = point_error
 
-        # D2H once: masks + the per-point arrays downstream reads as numpy
-        # (the tunnel moves ~50 MB/s — transferring the f32 height once and
-        # masking on host beats per-height device mask readbacks)
+        # D2H the THRESHOLD MASKS, not the heights: 1 uint8 code per point
+        # (bit i = height < heights[i]; bit 7 = height > 0, the tracking
+        # extraction's all_points filter) — 4x less over the ~50 MB/s
+        # tunnel than the f32 height. The f32 heights stay device-resident
+        # and materialize lazily for out-of-band consumers (visualizer,
+        # parity harness). Reference semantics unchanged
+        # (ground_plane_remover.py:226-249).
         import time as _t
         _tp = _t.time()
-        point_height_np = np.asarray(point_height)
-        _tp = self._tick("d2h_height", _tp)
+        if os.environ.get("PCSEQ_PROF"):
+            # separate solve compute from transfer in the profile (the
+            # pillar field is tiny — blocking on it costs nothing extra)
+            jax.block_until_ready(pillar_height)
+            _tp = self._tick("solve_wait", _tp)
         heights = cfg.get("TRUNCATE_HEIGHT", [0.5])
-        for h in heights:
-            ground_mask = point_height_np < h
+        ds_raw = getattr(self, "_ds_raw", None)
+        # device_aux requires the compaction block below to run (it is what
+        # filters the device-resident height/horizon): point_sweep present
+        device_aux = (
+            ds_raw is not None and len(heights) <= 7 and "point_sweep" in seq_dict
+        )
+        if device_aux:
+            code_np = np.asarray(
+                _height_codes(point_height, tuple(float(x) for x in heights)))
+            _tp = self._tick("d2h_height", _tp)
+            masks = [(h, (code_np >> i) & 1 > 0) for i, h in enumerate(heights)]
+            keep0 = (code_np >> 7) & 1 > 0
+        else:
+            point_height_np = np.asarray(point_height)
+            _tp = self._tick("d2h_height", _tp)
+            masks = [(h, point_height_np < h) for h in heights]
+            keep0 = point_height_np > 0.0
+            seq_dict["point_height"] = point_height_np
+        for h, ground_mask in masks:
             if "segmentation_label" in seq_dict and "LOG_DIR" in cfg:
                 self.output_stats(
                     seq_dict["segmentation_label"], ground_mask, sequence_id,
                     os.path.join(cfg.LOG_DIR, f"height{h}"),
                 )
-        seq_dict["point_height"] = point_height_np
         # final mask uses the last height, like the reference (232-239)
         keep = ~ground_mask
-        for key in ["point_fxyz", "segmentation_label", "point_sweep", "point_height", "instance_label", "point_horizon"]:
+        host_keys = ["point_fxyz", "segmentation_label", "point_sweep", "instance_label"]
+        if not device_aux:
+            host_keys += ["point_height", "point_horizon"]
+        for key in host_keys:
             if key in seq_dict:
                 seq_dict[f"full_{key}"] = seq_dict[key]
                 seq_dict[key] = np.asarray(seq_dict[key])[keep]
@@ -940,16 +1004,28 @@ class GroundPlaneRemover:
         # the TRUNCATE_HEIGHT-filtered main table (proposal + tracking
         # walk) and the height>0 full-res table (tracking extraction's
         # all_points, cluster_tracking.py keep = f_height > 0.0). Both are
-        # on-device compactions of the raw upload — zero extra H2D.
-        ds_raw = getattr(self, "_ds_raw", None)
+        # on-device compactions of the raw upload — zero extra H2D. The
+        # height/horizon per-point arrays ride keep1's permutation in the
+        # same program and stay on device.
         if ds_raw is not None and "full_point_sweep" in seq_dict:
             from ..utils.device_seq import DeviceSeq
 
             keep_dev = ~(point_height < h)
-            keep0 = point_height_np > 0.0
             full_frame = np.asarray(seq_dict["full_point_sweep"]).reshape(-1)
-            flat_main, flat_all = ds_raw.compact2(
-                keep_dev, int(keep.sum()), point_height > 0.0, int(keep0.sum()))
+            if device_aux:
+                seq_dict["full_point_keep0"] = keep0
+                seq_dict["full_point_height"] = point_height
+                seq_dict["full_point_horizon"] = point_horizon
+                aux = jnp.stack(
+                    [point_height, point_horizon.astype(point_height.dtype)], axis=1)
+                n_keep = int(keep.sum())
+                flat_main, aux_main, flat_all = ds_raw.compact2_aux(
+                    aux, keep_dev, n_keep, point_height > 0.0, int(keep0.sum()))
+                seq_dict["point_height"] = aux_main[:n_keep, 0]
+                seq_dict["point_horizon"] = aux_main[:n_keep, 1] > 0.5
+            else:
+                flat_main, flat_all = ds_raw.compact2(
+                    keep_dev, int(keep.sum()), point_height > 0.0, int(keep0.sum()))
             seq_dict["_dev_seq"] = DeviceSeq.from_device(
                 flat_main, np.asarray(seq_dict["point_sweep"]).reshape(-1),
                 host_key=seq_dict["point_fxyz"],

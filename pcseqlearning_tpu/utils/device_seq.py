@@ -102,6 +102,24 @@ def _compact_rows2(flat, keep1, n1, cap1, keep2, n2, cap2):
             _compact_rows_impl(flat, keep2, n2, cap2))
 
 
+@functools.partial(jax.jit, static_argnames=("cap1", "cap2"))
+def _compact_rows2_aux(flat, aux, keep1, n1, cap1, keep2, n2, cap2):
+    """_compact_rows2 plus per-point aux columns compacted by keep1's
+    permutation in the same program (the aux gather shares the sort —
+    stacking the columns onto `flat` would change its dtype/width for
+    every downstream view, so they ride separately)."""
+    n_pad = flat.shape[0]
+    key = jnp.ones(n_pad, jnp.int32).at[: keep1.shape[0]].set(
+        1 - keep1.astype(jnp.int32))
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, iota), num_keys=2)
+    valid1 = jnp.arange(cap1, dtype=jnp.int32) < n1
+    out1 = jnp.where(valid1[:, None], flat[perm[:cap1]], 1e8)
+    aux_pad = jnp.zeros((n_pad, aux.shape[1]), aux.dtype).at[: aux.shape[0]].set(aux)
+    aux1 = jnp.where(valid1[:, None], aux_pad[perm[:cap1]], 0)
+    return out1, aux1, _compact_rows_impl(flat, keep2, n2, cap2)
+
+
 class DeviceSeq:
     """One H2D upload; every stage layout is an on-device view."""
 
@@ -164,6 +182,15 @@ class DeviceSeq:
         cap2 = bucket_size(max(int(n2), 1))
         return _compact_rows2(
             self.flat, keep1, jnp.asarray(int(n1), jnp.int32), cap1,
+            keep2, jnp.asarray(int(n2), jnp.int32), cap2)
+
+    def compact2_aux(self, aux, keep1, n1, keep2, n2):
+        """compact2 plus [N, A] aux columns filtered by keep1 (same sort,
+        same program); returns (flat1, aux1, flat2)."""
+        cap1 = bucket_size(max(int(n1), 1))
+        cap2 = bucket_size(max(int(n2), 1))
+        return _compact_rows2_aux(
+            self.flat, aux, keep1, jnp.asarray(int(n1), jnp.int32), cap1,
             keep2, jnp.asarray(int(n2), jnp.int32), cap2)
 
     def matches(self, fxyz_np):

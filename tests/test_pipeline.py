@@ -180,3 +180,28 @@ def test_voxel_count_scatter_matches_unique(rng):
         want = len(np.unique(c[:, 0] * (1 << 42) + c[:, 1] * (1 << 21) + c[:, 2]))
         # f32-vs-f64 boundary jitter only (count sizes a padded table)
         assert abs(got - want) <= max(3, int(0.002 * want)), (s, got, want)
+
+
+def test_voxel_count_hier_matches_unique(rng):
+    """The one-pass hierarchical counter (scatter once at the finest level,
+    max-pool the occupancy table per coarser level) must match np.unique at
+    EVERY level — pooled counts are exact because floor-division nests."""
+    import jax.numpy as jnp
+    from pcseqlearning_tpu.preprocessing.ground_removal import _count_voxel_hier
+
+    rs = np.random.RandomState(7)
+    pts = rs.rand(40000, 3).astype(np.float32) * np.array([30, 30, 5], np.float32)
+    fx = np.concatenate([np.zeros((40000, 1), np.float32), pts], axis=1)
+    base = np.array([0.10, 0.10, 0.03])
+    n_lv = 4
+    dims = np.floor((pts.max(0) - pts.min(0)) / base).astype(np.int64) + 1
+    mult = (1 << (n_lv - 1)) * 8
+    dims_p = tuple(int(d) for d in (dims + mult - 1) // mult * mult)
+    got = np.asarray(_count_voxel_hier(
+        jnp.asarray(fx), jnp.asarray(40000, jnp.int32),
+        jnp.asarray(1.0 / base, jnp.float32), dims_p, n_lv))
+    for s in range(n_lv):
+        cell = base * 2.0 ** s
+        c = np.floor((pts - pts.min(0)) / cell).astype(np.int64)
+        want = len(np.unique(c[:, 0] * (1 << 42) + c[:, 1] * (1 << 21) + c[:, 2]))
+        assert abs(int(got[s]) - want) <= max(3, int(0.002 * want)), (s, int(got[s]), want)
