@@ -693,8 +693,15 @@ def _count_voxel_hier(fxyz, n, inv_cell, dims, n_levels):
     ).reshape(dims)
     counts = [jnp.sum(occ, dtype=jnp.int32)]
     for _ in range(n_levels - 1):
-        X, Y, Z = occ.shape
-        occ = occ.reshape(X // 2, 2, Y // 2, 2, Z // 2, 2).max(axis=(1, 3, 5))
+        # 2x2x2 max-pool via reduce_window: the (X//2,2,Y//2,2,Z//2,2)
+        # reshape materializes on TPU with the minor 2-dims padded to the
+        # (8,128)(4,1) int8 tile — a 302 MB table became a 19.3 GB
+        # allocation and aborted compilation. reduce_window lowers to a
+        # real pooling loop with no layout blowup.
+        occ = jax.lax.reduce_window(
+            occ, jnp.int8(0), jax.lax.max,
+            window_dimensions=(2, 2, 2), window_strides=(2, 2, 2),
+            padding="VALID")
         counts.append(jnp.sum(occ, dtype=jnp.int32))
     return jnp.stack(counts)
 
@@ -733,8 +740,26 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
         return s, int(counts[s])
     s0, dims0, n_lv = chosen
     inv = jnp.asarray(1.0 / (base * (2.0 ** s0)), jnp.float32)
-    counts = np.asarray(_count_voxel_hier(
-        fxyz0, jnp.asarray(n, jnp.int32), inv, dims0, n_lv))
+    try:
+        counts = np.asarray(_count_voxel_hier(
+            fxyz0, jnp.asarray(n, jnp.int32), inv, dims0, n_lv))
+    except Exception as e:  # pragma: no cover - device-only failure mode
+        # a TPU compile/runtime fault on the fused counter must not kill an
+        # unattended run: fall back to one scatter pass per level
+        print(f"[ground] hierarchical voxel counter failed ({type(e).__name__}), "
+              "falling back to per-level scatter counts")
+        last = None
+        for i in range(n_lv):
+            cell_i = base * (2.0 ** (s0 + i))
+            dims_i = np.floor(ext / cell_i).astype(np.int64) + 1
+            cnt = int(_count_voxels_scatter(
+                fxyz0, jnp.asarray(n, jnp.int32),
+                jnp.asarray(1.0 / cell_i, jnp.float32),
+                jnp.asarray(dims_i, jnp.int32), _COUNT_TABLE_CAP))
+            last = (s0 + i, cnt)
+            if cnt <= solve_cap or n <= solve_cap:
+                return last
+        return last
     for i in range(n_lv):
         c = int(counts[i])
         if c <= solve_cap or n <= solve_cap:
