@@ -171,6 +171,12 @@ class ClusterProposal:
     def propose_cluster(self, seq_dict):
         import time as _t
         _t_start = _t.time()
+        _prof = {}
+
+        def _tick(key, t0):
+            t1 = _t.time()
+            _prof[key] = _prof.get(key, 0.0) + (t1 - t0)
+            return t1
         fxyz = np.asarray(seq_dict["point_fxyz"])
         frame = np.asarray(seq_dict["point_sweep"]).reshape(-1)
         n = fxyz.shape[0]
@@ -242,6 +248,7 @@ class ClusterProposal:
         # adequate scan window W: easy chunks run at ~1/3 the DMA of the
         # old fixed W=1536 and heavy chunks (which used to truncate
         # 150-290 windows at reference scale) get a full-size window
+        _tp = _tick("prep_dispatch", _t_start)
         for pi in range(len(preps)):
             comp_key, radius, m, n_pts, off, cap, state, max_win = preps[pi]
             preps[pi] = None  # drop the prep state's HBM as soon as the
@@ -268,6 +275,7 @@ class ClusterProposal:
             pending.append((comp_key, m, n_pts,
                             ("dense", comp, num, ntrunc, off, radius)))
 
+        _tp = _tick("finish_dispatch", _tp)
         # start every chunk's D2H before blocking on any (each blocking
         # read through the tunneled TPU pays a full round-trip latency)
         for _, _, _, payload in pending:
@@ -317,11 +325,13 @@ class ClusterProposal:
                 print(f"Cluster Proposal {comp_key}: WARNING "
                       f"{int(ntrunc)} scan windows truncated at the top "
                       f"ladder W={pallas_scan.CC_W_LADDER[-1]}")
+        _tp = _tick("drain", _tp)
         for comp_key in self.component_keys:
             seq_dict[f"point_{comp_key}"] = components[comp_key]
             print(f"Cluster Proposal {comp_key}: num_components={totals[comp_key]}")
         if os.environ.get("PCSEQ_PROF"):
-            print(f"PROPOSE_PROF {{'propose_total': {round(_t.time() - _t_start, 2)}}}",
+            _prof["propose_total"] = round(_t.time() - _t_start, 2)
+            print(f"PROPOSE_PROF {{{', '.join(f'{k!r}: {round(v, 2)}' for k, v in _prof.items())}}}",
                   flush=True)
         return seq_dict
 
@@ -496,7 +506,12 @@ class ClusterProposal:
     def __call__(self, seq_dict):
         seq_dict = self.propose_cluster(seq_dict)
         if "gt_box_attr" in seq_dict:
+            import time as _t
+            _t0 = _t.time()
             seq_dict = self.evaluate_proposal(seq_dict)
+            if os.environ.get("PCSEQ_PROF"):
+                print(f"PROPOSE_EVAL {{'evaluate': {round(_t.time() - _t0, 2)}}}",
+                      flush=True)
         if "DIR" in self.model_cfg:
             os.makedirs(self.model_cfg.DIR, exist_ok=True)
         return seq_dict

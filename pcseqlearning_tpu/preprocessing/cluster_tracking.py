@@ -332,6 +332,8 @@ class ClusterTracking:
         num_components = int(frame.component.max()) + 1 if len(frame.component) else 0
         if num_components == 0:
             return None
+        import time as _time
+        _tprep = _time.time()
         frame_id = int(frame.frame[0])
         frames_arr = seq_points.frame
         W = 2 * self.track_interval + 1
@@ -428,6 +430,9 @@ class ClusterTracking:
             (float(v[0]), float(v[1]), float(v[2]), float(r), float(sd))
             for v, r, sd in zip(self.voxel_size_list, self.radius_list, self.stopping_delta)
         )
+        if os.environ.get("PCSEQ_PROF"):
+            from .tracking_batched import PROF as _PROF
+            _PROF["walk_prep"] = _PROF.get("walk_prep", 0.0) + (_time.time() - _tprep)
         g = track_window_batched_dispatch(
             window_xyz, window_valid, window_stat, comp_xyz, comp_pmask,
             comp_valid0, diam, deg,
@@ -451,6 +456,8 @@ class ClusterTracking:
         from .tracking_batched import track_window_batched_drain
 
         out = track_window_batched_drain(h.g)
+        import time as _time
+        _tasm = _time.time()
         frame, frame_id = h.frame, h.frame_id
         frame_rows, anchor_slot = h.frame_rows, h.anchor_slot
         num_components = h.num_components
@@ -494,6 +501,10 @@ class ClusterTracking:
         extracted.transforms = out["transforms"][:num_components]
         extracted.reg_errors = out["reg_errors"][:num_components]
         extracted.comp_edge_ratios = out["edge_ratios"][:num_components]
+        if os.environ.get("PCSEQ_PROF"):
+            from .tracking_batched import PROF as _PROF
+            _PROF["walk_assemble"] = _PROF.get("walk_assemble", 0.0) + (
+                _time.time() - _tasm)
         return extracted
 
     def track_frame_device(self, seq_points, frame, seq_boxes, seq_index=None):
@@ -1343,6 +1354,8 @@ class ClusterTracking:
         )
 
     def __call__(self, seq_dict):
+        import time as _prep_time
+        _tprep0 = _prep_time.time()
         fxyz = np.asarray(seq_dict["point_fxyz"])
         frame = np.asarray(seq_dict["point_sweep"]).reshape(-1).astype(int)
         seq_points = EDict(
@@ -1421,6 +1434,10 @@ class ClusterTracking:
                 self._ds.aux_frame_table(seq_points.stationary)
                 if self._ds is not None else None
             )
+            if os.environ.get("PCSEQ_PROF"):
+                from .tracking_batched import PROF as _PPROF
+                _PPROF["call_prep"] = _PPROF.get("call_prep", 0.0) + (
+                    _prep_time.time() - _tprep0)
 
             import time as _time
 

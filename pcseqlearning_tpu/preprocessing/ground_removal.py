@@ -1024,6 +1024,7 @@ class GroundPlaneRemover:
             if key in seq_dict:
                 seq_dict[f"full_{key}"] = seq_dict[key]
                 seq_dict[key] = np.asarray(seq_dict[key])[keep]
+        _tp = self._tick("host_filter", _tp)
 
         # hand the downstream stages device-compacted resident tables:
         # the TRUNCATE_HEIGHT-filtered main table (proposal + tracking
@@ -1051,6 +1052,7 @@ class GroundPlaneRemover:
             else:
                 flat_main, flat_all = ds_raw.compact2(
                     keep_dev, int(keep.sum()), point_height > 0.0, int(keep0.sum()))
+            _tp = self._tick("compact_dispatch", _tp)
             seq_dict["_dev_seq"] = DeviceSeq.from_device(
                 flat_main, np.asarray(seq_dict["point_sweep"]).reshape(-1),
                 host_key=seq_dict["point_fxyz"],
