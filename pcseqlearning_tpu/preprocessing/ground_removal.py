@@ -706,21 +706,84 @@ def _count_voxel_hier(fxyz, n, inv_cell, dims, n_levels):
     return jnp.stack(counts)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "n_levels"))
+def _count_voxel_sort1(fxyz, n, inv_cell, bits, n_levels):
+    """Distinct occupied-cell counts at ``n_levels`` dyadic coarsenings
+    from ONE single-key int32 sort.
+
+    Cell coords at the finest candidate level are packed into one int32
+    key whose lowest 3L bits interleave the lowest L = n_levels-1 bits of
+    each axis (so ``key >> 3i`` is injective on the level-i cell ids —
+    dyadic coarsening is monotone under the interleave) and whose high
+    bits concatenate the remaining axis bits. A 9M-point int8 scatter-max
+    into a dense occupancy table costs ~5 s on TPU (random scatters
+    serialize); one single-key sort of the same points rides the vector
+    units. Host precomputes ``bits`` so the key provably fits 31 bits."""
+    bx, by, bz = bits
+    L = max(n_levels - 1, 0)
+    xyz = fxyz[:, 1:4]
+    n_pad = xyz.shape[0]
+    m = jnp.arange(n_pad, dtype=jnp.int32) < n
+    big = jnp.asarray(3e38, xyz.dtype)
+    mn = jnp.min(jnp.where(m[:, None], xyz, big), axis=0)
+    c = jnp.floor((xyz - mn) * inv_cell[None, :]).astype(jnp.int32)
+    hi_caps = jnp.asarray([(1 << bx) - 1, (1 << by) - 1, (1 << bz) - 1], jnp.int32)
+    c = jnp.clip(c, 0, hi_caps[None, :])
+    # pads duplicate row 0's cell: no effect on the distinct count
+    c = jnp.where(m[:, None], c, c[0])
+    k = jnp.zeros_like(c[:, 0])
+    for b in range(L):
+        k = (
+            k
+            | (((c[:, 0] >> b) & 1) << (3 * b + 2))
+            | (((c[:, 1] >> b) & 1) << (3 * b + 1))
+            | (((c[:, 2] >> b) & 1) << (3 * b))
+        )
+    hx, hy, hz = (max(bx - L, 0), max(by - L, 0), max(bz - L, 0))
+    hi = (((c[:, 0] >> L) << hy) | (c[:, 1] >> L)) << hz | (c[:, 2] >> L)
+    key = jax.lax.sort((hi << (3 * L)) | k)
+    counts = []
+    for s in range(n_levels):
+        d = (key[1:] >> (3 * s)) != (key[:-1] >> (3 * s))
+        counts.append(jnp.sum(d.astype(jnp.int32)) + 1)
+    return jnp.stack(counts)
+
+
 def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
     """Pick the finest dyadic coarsening of the (0.10, 0.10, 0.03) solve
     grid whose occupied-cell count fits ``solve_cap``; returns (s, n_occ).
 
-    Strategy: find the finest level whose (padded) dense cell table fits
-    _COUNT_TABLE_CAP, then count it AND every coarser level in one device
-    pass (_count_voxel_hier: scatter once, max-pool the table per level).
-    Finer levels with oversized tables are treated as over-cap — they only
-    arise when the extent is huge at a fine cell, where the count exceeds
-    any practical solve_cap anyway (sizing heuristic only; the reference
-    always solves at fixed 10 cm, preprocessor_utils.py:369 — coarsening is
-    this port's HBM budget mechanism). Falls back to the exact Morton-sort
-    counter when no level fits (pathological extents)."""
+    Strategy: find the finest candidate level whose packed cell key fits
+    an int32, then count it AND every coarser level with ONE single-key
+    device sort (_count_voxel_sort1). Finer levels whose keys overflow are
+    treated as over-cap — they only arise when the extent is huge at a
+    fine cell, where the count exceeds any practical solve_cap anyway
+    (sizing heuristic only; the reference always solves at fixed 10 cm,
+    preprocessor_utils.py:369 — coarsening is this port's HBM budget
+    mechanism). Falls back to the scatter+max-pool hierarchical counter,
+    then the 3-key Morton sort, on failure."""
     ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
     base = np.asarray([0.10, 0.10, 0.03])
+    for s in range(S):
+        cell = base * (2.0 ** s)
+        dims = np.floor(ext / cell).astype(np.int64) + 1
+        n_lv = S - s
+        L = max(n_lv - 1, 0)
+        bits = tuple(max(int(np.ceil(np.log2(max(int(d), 2)))), 1) for d in dims)
+        width = 3 * L + sum(max(b - L, 0) for b in bits)
+        if width <= 31:
+            inv = jnp.asarray(1.0 / cell, jnp.float32)
+            try:
+                counts = np.asarray(_count_voxel_sort1(
+                    fxyz0, jnp.asarray(n, jnp.int32), inv, bits, n_lv))
+            except Exception as e:  # pragma: no cover - device-only failure
+                print(f"[ground] sort-based voxel counter failed "
+                      f"({type(e).__name__}), falling back to scatter counts")
+                break
+            for i in range(n_lv):
+                if int(counts[i]) <= solve_cap or n <= solve_cap:
+                    return s + i, int(counts[i])
+            return s + n_lv - 1, int(counts[-1])
     chosen = None
     for s in range(S):
         cell = base * (2.0 ** s)
