@@ -53,6 +53,14 @@ def _comp_stats_kernel(flat, comp, n, C):
     ssum = jax.ops.segment_sum(
         jnp.where(m[:, None], xyz, 0.0), seg, num_segments=C + 1)[:C]
     ctr = ssum / jnp.maximum(cnt[:, None], 1.0)
+    # one residual-refinement pass: accumulating (xyz - ctr0) instead of xyz
+    # removes the f32 cancellation that made multi-million-point centroids
+    # drift vs the host float64 bincount path (diameter crosses the 12.5 m
+    # stationary threshold identically on both paths)
+    res = jax.ops.segment_sum(
+        jnp.where(m[:, None], xyz - ctr[jnp.clip(comp, 0, C - 1)], 0.0),
+        seg, num_segments=C + 1)[:C]
+    ctr = ctr + res / jnp.maximum(cnt[:, None], 1.0)
     r = jnp.linalg.norm(xyz - ctr[jnp.clip(comp, 0, C - 1)], axis=-1)
     diam = 2.0 * jax.ops.segment_max(
         jnp.where(m, r, -1.0), seg, num_segments=C + 1)[:C]
@@ -1441,8 +1449,11 @@ class ClusterTracking:
             # stationary = very large components (reference 860-861)
             C_all = int(component.max()) + 1 if len(component) else 0
             cc_diam = np.zeros(C_all, np.float32)
-            if C_all and self._ds is not None:
-                # device path: two segment passes over the resident table
+            if C_all and self._ds is not None and len(component) == self._ds.n:
+                # device path: two segment passes over the resident table.
+                # component must align row-for-row with the resident table
+                # (len == self._ds.n); on mismatch fall through to the host
+                # path below, which indexes seq_points directly.
                 comp_pad = np.full(self._ds.flat.shape[0], -1, np.int32)
                 comp_pad[: len(component)] = component
                 _, _, diam_d = _comp_stats_kernel(

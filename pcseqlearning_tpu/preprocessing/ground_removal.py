@@ -776,9 +776,11 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
             try:
                 counts = np.asarray(_count_voxel_sort1(
                     fxyz0, jnp.asarray(n, jnp.int32), inv, bits, n_lv))
-            except Exception as e:  # pragma: no cover - device-only failure
-                print(f"[ground] sort-based voxel counter failed "
-                      f"({type(e).__name__}), falling back to scatter counts")
+            except Exception:  # pragma: no cover - device-only failure
+                import traceback
+
+                print("[ground] sort-based voxel counter failed, falling "
+                      "back to scatter counts:\n" + traceback.format_exc())
                 break
             for i in range(n_lv):
                 if int(counts[i]) <= solve_cap or n <= solve_cap:

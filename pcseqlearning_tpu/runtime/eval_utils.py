@@ -108,15 +108,24 @@ def _heading_accuracy(dt_heading, gt_heading):
 def _ap_from_matches(scores, tp_weight, h_weight, num_gt):
     """AP and APH from per-detection match weights (tp in {0,1}, h in [0,1]),
     precision-envelope integration (matching the official estimator's
-    100-cutoff PR integral in the continuous limit)."""
+    score-cutoff PR integral in the continuous limit).
+
+    Tied scores are evaluated TOGETHER: the official estimator forms the PR
+    curve at score cutoffs, so every detection with score >= cutoff enters
+    the same PR point — a TP/FP pair sharing one score contributes a single
+    (recall, precision) point, never an order-dependent intermediate one."""
     if num_gt == 0 or len(scores) == 0:
         return 0.0, 0.0
     order = np.argsort(-scores)
+    s = np.asarray(scores, np.float64)[order]
     tp = np.asarray(tp_weight, np.float64)[order]
     hw = np.asarray(h_weight, np.float64)[order]
     ctp = np.cumsum(tp)
     chw = np.cumsum(hw)
     cfp = np.cumsum(1.0 - tp)
+    # PR points only at the LAST detection of each tied-score group
+    last = np.concatenate([s[1:] != s[:-1], [True]])
+    ctp, chw, cfp = ctp[last], chw[last], cfp[last]
     recall = ctp / num_gt
     precision = ctp / np.maximum(ctp + cfp, 1e-9)
     precision_h = chw / np.maximum(ctp + cfp, 1e-9)
@@ -187,8 +196,10 @@ def waymo_style_ap(det_annos, gt_annos, class_names, with_range_breakdown=True):
 
             for level, gsel in (("L1", g_diff <= 1), ("L2", g_diff <= 2)):
                 # dets matched to out-of-level GTs are don't-care (dropped)
-                care = ~mm | gsel[np.clip(match_gt, 0, None)]
-                tp = mm & gsel[np.clip(match_gt, 0, None)]
+                msel = np.zeros(len(d_boxes), bool)
+                msel[mm] = gsel[match_gt[mm]]
+                care = ~mm | msel
+                tp = msel
                 acc[level][0].append(d_scores[care])
                 acc[level][1].append(tp[care].astype(np.float64))
                 acc[level][2].append((hacc * tp)[care])
@@ -197,8 +208,10 @@ def waymo_style_ap(det_annos, gt_annos, class_names, with_range_breakdown=True):
                 for rb in _RANGE_BUCKETS:
                     gsel = (g_range >= rb[0]) & (g_range < rb[1])
                     in_rb = (d_range >= rb[0]) & (d_range < rb[1])
-                    care = (~mm & in_rb) | (mm & gsel[np.clip(match_gt, 0, None)])
-                    tp = mm & gsel[np.clip(match_gt, 0, None)]
+                    msel = np.zeros(len(d_boxes), bool)
+                    msel[mm] = gsel[match_gt[mm]]
+                    care = (~mm & in_rb) | msel
+                    tp = msel
                     racc[rb][0].append(d_scores[care])
                     racc[rb][1].append(tp[care].astype(np.float64))
                     racc[rb][2].append((hacc * tp)[care])

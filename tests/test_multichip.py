@@ -236,3 +236,64 @@ def test_cluster_proposal_sharded_matches_unsharded(rng):
     # same partition up to relabeling
     pairs = set(zip(out1.tolist(), out8.tolist()))
     assert len(pairs) == len(set(out1.tolist())) == len(set(out8.tolist()))
+
+
+def test_merge_results_dist_multirank_order_and_truncation(tmp_path, monkeypatch):
+    """Multi-host eval-merge path (VERDICT r3 next #9): simulate 3 ranks
+    writing their loader-shard results, verify rank 0 reassembles them in
+    rank-strided dataset order and truncates the DistributedSampler padding
+    (reference common_utils.py:354-377 semantics)."""
+    from jax.experimental import multihost_utils
+
+    from pcseqlearning_tpu.utils import dist_utils
+
+    world = 3
+    # dataset of 8 samples, rank-strided: rank r sees indices r, r+3, ...
+    # (the eval sampler pads to world size -> rank 2 gets a pad duplicate)
+    parts = {0: [0, 3, 6], 1: [1, 4, 7], 2: [2, 5, 7]}
+    monkeypatch.setattr(multihost_utils, "sync_global_devices", lambda name: None)
+
+    results = {}
+    for rank in range(1, world):
+        monkeypatch.setattr(dist_utils, "get_dist_info", lambda r=rank: (r, world))
+        results[rank] = dist_utils.merge_results_dist(
+            parts[rank], size=8, tmpdir=str(tmp_path))
+        assert results[rank] is None  # non-zero ranks return None
+    monkeypatch.setattr(dist_utils, "get_dist_info", lambda: (0, world))
+    merged = dist_utils.merge_results_dist(parts[0], size=8, tmpdir=str(tmp_path))
+    assert merged == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_all_gather_arrays_and_average_reduce_single_process():
+    """Single-process fast paths of the collectives used by the eval loop."""
+    import jax.numpy as jnp
+
+    from pcseqlearning_tpu.utils import dist_utils
+
+    tree = {"a": jnp.arange(4), "b": np.float32(2.5)}
+    out = dist_utils.all_gather_arrays(tree)
+    assert len(out) == 1
+    np.testing.assert_array_equal(np.asarray(out[0]["a"]), np.arange(4))
+    assert dist_utils.average_reduce_value(3.25) == 3.25
+
+
+def test_eval_gather_inside_mesh():
+    """In-SPMD eval-stat gather on the 8-device mesh: per-device partial
+    sums psum-reduce to the global recall counts (the SPMD replacement for
+    the reference's dist.all_reduce of eval meters)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("dp",))
+    # 8 shards of per-sample tp counts
+    tp = jnp.arange(32, dtype=jnp.float32)
+
+    def gather_stats(x):
+        local = jnp.sum(x)
+        return jax.lax.psum(local, "dp")
+
+    total = shard_map(gather_stats, mesh=mesh, in_specs=P("dp"), out_specs=P())(tp)
+    assert float(total) == float(np.arange(32).sum())

@@ -148,3 +148,122 @@ def test_feature_leakage_eval():
                        boxes_lidar=np.zeros((0, 7), np.float32), score=np.zeros(0))]
     stats = eval_feature_leakage(gt, pred_empty, ["Vehicle"])
     assert stats["Vehicle"][0]["mean_iou"] == 0.0
+
+
+def test_waymo_style_ap_score_ties_grouped():
+    """Official-estimator tie semantics (VERDICT r3 next #3): the PR curve
+    is formed at score CUTOFFS, so a TP and an FP sharing one score enter
+    the same PR point. 2 L1 GTs; detections:
+      s=.9 TP, s=.9 FP  (one tied group)
+    cutoff <= .9: tp=1, fp=1 -> recall .5, precision .5 — the ONLY PR point.
+      AP = .5 (dr from 0) * .5 (envelope precision) = 0.25
+    A per-detection curve that orders the TP first would instead see an
+    intermediate (r=.5, p=1) point and report AP = 0.5 — wrong.
+    """
+    from pcseqlearning_tpu.runtime.eval_utils import waymo_style_ap
+
+    gt = [dict(
+        name=np.array(["Vehicle", "Vehicle"]),
+        gt_boxes_lidar=np.array([
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],
+            [10.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],
+        ], np.float32),
+        difficulty=np.array([1, 1]),
+    )]
+    det = [dict(
+        name=np.array(["Vehicle", "Vehicle"]),
+        score=np.array([0.9, 0.9], np.float32),
+        boxes_lidar=np.array([
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],     # TP G0
+            [30.0, 30.0, 0.5, 4.0, 4.0, 1.5, 0.0],   # FP, same score
+        ], np.float32),
+    )]
+    _, r = waymo_style_ap(det, gt, ["Vehicle"], with_range_breakdown=False)
+    assert abs(r["Vehicle/L1/AP"] - 0.25) < 1e-9, r["Vehicle/L1/AP"]
+
+
+def test_waymo_style_ap_heading_flip_and_wrap():
+    """Heading cases hand-derived from the APH definition
+    (h = max(0, 1 - |wrapped dh| / pi), waymo metrics spec):
+      pi flip   -> |dh| wraps to pi   -> h = 0 (AP unaffected, APH loses it)
+      2pi wrap  -> -pi vs +pi         -> |dh| wraps to 0 -> h = 1
+    2 L1 GTs, 2 TPs (distinct scores, both exact position):
+      s=.9 on G0 with heading +pi (GT 0)      -> h = 0
+      s=.8 on G1 with heading -pi (GT +pi)    -> h = 1
+    prefix: tp fp recall prec  cum_h prec_h
+      1      1  0  .5    1     0     0
+      2      2  0  1     1     1     .5
+    envelopes: p=[1,1], ph=[.5,.5]; dr=.5 at both points
+      AP = 1.0, APH = .5*.5 + .5*.5 = 0.5
+    """
+    from pcseqlearning_tpu.runtime.eval_utils import waymo_style_ap
+
+    gt = [dict(
+        name=np.array(["Vehicle", "Vehicle"]),
+        gt_boxes_lidar=np.array([
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],
+            [10.0, 0.0, 0.5, 4.0, 4.0, 1.5, np.pi],
+        ], np.float32),
+        difficulty=np.array([1, 1]),
+    )]
+    det = [dict(
+        name=np.array(["Vehicle", "Vehicle"]),
+        score=np.array([0.9, 0.8], np.float32),
+        boxes_lidar=np.array([
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, np.pi],    # TP, pi flip -> h 0
+            [10.0, 0.0, 0.5, 4.0, 4.0, 1.5, -np.pi],  # TP, -pi == +pi -> h 1
+        ], np.float32),
+    )]
+    _, r = waymo_style_ap(det, gt, ["Vehicle"], with_range_breakdown=False)
+    assert abs(r["Vehicle/L1/AP"] - 1.0) < 1e-9
+    assert abs(r["Vehicle/L1/APH"] - 0.5) < 1e-9, r["Vehicle/L1/APH"]
+
+
+def test_waymo_style_ap_zero_point_gt_dropped():
+    """GTs with num_points_in_gt == 0 are dropped entirely
+    (waymo_eval.py:44-48 convention): a lone 0-point GT means num_gt = 0,
+    and a detection on it is an unmatched FP -> AP 0 at both levels."""
+    from pcseqlearning_tpu.runtime.eval_utils import waymo_style_ap
+
+    gt = [dict(
+        name=np.array(["Vehicle"]),
+        gt_boxes_lidar=np.array([[0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0]], np.float32),
+        difficulty=np.array([0]),
+        num_points_in_gt=np.array([0]),
+    )]
+    det = [dict(
+        name=np.array(["Vehicle"]),
+        score=np.array([0.9], np.float32),
+        boxes_lidar=np.array([[0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0]], np.float32),
+    )]
+    _, r = waymo_style_ap(det, gt, ["Vehicle"], with_range_breakdown=False)
+    assert r["Vehicle/L1/AP"] == 0.0
+    assert r["Vehicle/L2/AP"] == 0.0
+
+
+def test_waymo_style_ap_l2_dont_care_not_fp():
+    """A detection Hungarian-matched to a difficulty-2 GT is DON'T-CARE at
+    LEVEL_1 (dropped, not an FP): with one L1 GT + one L2 GT and two exact
+    detections, L1 sees 1 TP / 0 FP over 1 GT -> AP 1, even though the
+    L2-matched detection has the higher score."""
+    from pcseqlearning_tpu.runtime.eval_utils import waymo_style_ap
+
+    gt = [dict(
+        name=np.array(["Vehicle", "Vehicle"]),
+        gt_boxes_lidar=np.array([
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],
+            [10.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],
+        ], np.float32),
+        difficulty=np.array([1, 2]),
+    )]
+    det = [dict(
+        name=np.array(["Vehicle", "Vehicle"]),
+        score=np.array([0.95, 0.6], np.float32),
+        boxes_lidar=np.array([
+            [10.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],  # matches the L2 GT
+            [0.0, 0.0, 0.5, 4.0, 4.0, 1.5, 0.0],   # matches the L1 GT
+        ], np.float32),
+    )]
+    _, r = waymo_style_ap(det, gt, ["Vehicle"], with_range_breakdown=False)
+    assert abs(r["Vehicle/L1/AP"] - 1.0) < 1e-9
+    assert abs(r["Vehicle/L2/AP"] - 1.0) < 1e-9

@@ -27,7 +27,7 @@ from pcseqlearning_tpu.models import build_network
 from pcseqlearning_tpu.parallel.train_step import dense_batch_from_collated, _flatten_local, init_train_state
 from pcseqlearning_tpu.runtime import train_utils
 from pcseqlearning_tpu.runtime.optimization import build_optimizer
-from pcseqlearning_tpu.utils import common_utils
+from pcseqlearning_tpu.utils import common_utils, dist_utils
 
 
 def parse_config():
@@ -74,6 +74,11 @@ def eval_ckpt(model, state, loader, dataset, logger, n_cap):
                 pred_labels=np.asarray(labels[b])[v],
             ))
         det_annos += dataset.generate_prediction_dicts(batch, pred_dicts, cfg.CLASS_NAMES)
+    # multi-host: each process evaluated its loader shard — merge to rank 0
+    # before scoring (reference eval_utils.py:77-78 merge_results_dist)
+    det_annos = dist_utils.merge_results_dist(det_annos, len(dataset))
+    if det_annos is None:  # non-zero rank
+        return None
     result_str, results = dataset.evaluation(det_annos, cfg.CLASS_NAMES)
     logger.info(result_str)
     return results
