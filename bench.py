@@ -1,12 +1,15 @@
 """Benchmark: end-to-end cluster extraction + tracking throughput on a
 synthetic Waymo-scale sequence (frames/hour/chip — the north-star metric,
-BASELINE.json). Prints ONE JSON line.
+BASELINE.json) plus a CenterPoint train-step benchmark with an MFU figure
+(BASELINE configs 4-5). Prints ONE JSON line.
 
-The synthetic scene mirrors the real workload shape: ~20 frames of ~90k
-above-ground points after 8 cm subsampling, a ground plane, and moving rigid
-clusters; the measured path is ground removal -> multi-radius cluster
-proposal (radius graph + CC) -> per-component ICP tracking, i.e. the hot
-path of BASELINE configs 1-3.
+The synthetic scene mirrors the real workload shape: ~90k above-ground
+points per frame after 8 cm subsampling, a ground plane, and rigid clusters
+— HALF of them moving, half static (below the 0.05 m/frame moving
+threshold), so the moving mask, the min-move stopping gate and the
+moving-only mIoU are genuinely exercised. The measured path is ground
+removal -> multi-radius cluster proposal (radius graph + CC) -> per-
+component ICP tracking, i.e. the hot path of BASELINE configs 1-3.
 """
 
 from __future__ import annotations
@@ -37,12 +40,25 @@ def _enable_compilation_cache():
         pass
 
 
-def make_scene(num_frames=20, points_per_frame=90_000, seed=0):
+def make_scene(num_frames=20, points_per_frame=90_000, seed=0,
+               moving_fraction=0.5):
+    """Mixed moving/static scene: even-indexed clusters move (|v| in
+    [0.15, 0.8] m/frame), the rest are static jittered below the
+    0.05 m/frame moving threshold — so All vs Moving mIoU diverge and the
+    min-move stopping gate (reference cluster_tracking.py:676-691) sees
+    both sides."""
     rng = np.random.RandomState(seed)
     frames = []
     n_clusters = 24
     centers = rng.rand(n_clusters, 2) * 120 - 60
-    velo = rng.randn(n_clusters, 2) * 0.4
+    n_moving = int(round(n_clusters * moving_fraction))
+    velo = np.zeros((n_clusters, 2))
+    # movers: direction uniform, speed well above threshold
+    ang = rng.rand(n_moving) * 2 * np.pi
+    spd = rng.rand(n_moving) * 0.65 + 0.15
+    velo[:n_moving] = np.stack([np.cos(ang), np.sin(ang)], 1) * spd[:, None]
+    # static: tiny drift strictly below the 0.05 m/frame gate
+    velo[n_moving:] = rng.randn(n_clusters - n_moving, 2) * 0.01
     sizes = rng.rand(n_clusters) * 1.5 + 0.5
     gt_attr, gt_frame, gt_track = [], [], []
     # the ground is a STATIC surface: the same physical cells are observed
@@ -78,23 +94,162 @@ def make_scene(num_frames=20, points_per_frame=90_000, seed=0):
     return np.concatenate(frames), gt
 
 
+def _cell_cap_audit(seq, radii_caps):
+    """Points dropped by the hash-grid per-bucket cap at each (radius, cap)
+    the pipeline uses — nonzero means queries can miss true neighbors."""
+    import jax.numpy as jnp
+
+    from pcseqlearning_tpu.ops import hash_graph
+
+    f0 = seq[seq[:, 0] == seq[0, 0]][:, :4].astype(np.float32)
+    out = {}
+    for name, (radius, cap) in radii_caps.items():
+        grid = hash_graph.build_hash_grid(jnp.asarray(f0), radius)
+        out[name] = int(hash_graph.cell_cap_overflow(grid, cell_cap=cap))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# detector train-step benchmark (BASELINE configs 4-5)
+# ---------------------------------------------------------------------------
+
+# dense bf16 peak FLOP/s per chip by device kind (MFU denominator)
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops(device):
+    kind = getattr(device, "device_kind", "")
+    for key, v in sorted(_PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if key.lower() in kind.lower():
+            return v
+    return None
+
+
+def bench_detector():
+    """CenterPoint (VoxelResBackBone8x) train step at the reference Waymo
+    geometry (centerpoint.yaml: PCR +-74.88m, 0.1m voxels -> 1497^2 BEV
+    grid; reference workload pcdet/models/backbones_3d/spconv_backbone.py
+    + center_head). Reports steps/s, points/s and MFU where MFU uses XLA's
+    own per-program FLOP count over the chip's bf16 peak."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pcseqlearning_tpu.models.detectors import build_detector
+    from pcseqlearning_tpu.parallel.mesh import make_mesh
+    from pcseqlearning_tpu.parallel.train_step import (
+        init_train_state, make_train_step)
+    from pcseqlearning_tpu.utils.edict import EDict
+
+    batch_size = int(os.environ.get("BENCH_DET_BATCH", 2))
+    n_points = int(os.environ.get("BENCH_DET_POINTS", 160_000))
+    voxel_cap = int(os.environ.get("BENCH_DET_VOXELS", 120_000))
+    n_steps = int(os.environ.get("BENCH_DET_STEPS", 8))
+
+    cfg = EDict(
+        NAME="CenterPoint",
+        POINT_CAP=n_points,
+        VOXEL_CAP=voxel_cap,
+        VFE=EDict(NAME="DynamicMeanVFE"),
+        BACKBONE_3D=EDict(NAME="VoxelResBackBone8x"),
+        MAP_TO_BEV=EDict(NAME="HeightCompression", NUM_BEV_FEATURES=256),
+        BACKBONE_2D=EDict(NAME="BaseBEVBackbone", LAYER_NUMS=[5, 5],
+                          LAYER_STRIDES=[1, 2], NUM_FILTERS=[128, 256],
+                          UPSAMPLE_STRIDES=[1, 2],
+                          NUM_UPSAMPLE_FILTERS=[256, 256]),
+        DENSE_HEAD=EDict(NAME="CenterHead", FEATURE_MAP_STRIDE=8),
+    )
+    runtime_cfg = dict(
+        data_cfg={"POINT_CLOUD_RANGE": [-74.88, -74.88, -2.0, 74.88, 74.88, 4.0],
+                  "VOXEL_SIZE": [0.1, 0.1, 0.15]},
+        class_names=["Vehicle", "Pedestrian", "Cyclist"],
+        voxel_cap=voxel_cap,
+    )
+    model = build_detector(cfg, runtime_cfg)
+
+    rng = np.random.RandomState(0)
+    pts = np.zeros((batch_size, n_points, 4), np.float32)
+    pts[..., 1] = rng.rand(batch_size, n_points) * 140 - 70
+    pts[..., 2] = rng.rand(batch_size, n_points) * 140 - 70
+    pts[..., 3] = rng.rand(batch_size, n_points) * 5 - 1.5
+    feats = rng.rand(batch_size, n_points, 1).astype(np.float32)
+    valid = np.ones((batch_size, n_points), bool)
+    gt = np.zeros((batch_size, 64, 8), np.float32)
+    for b in range(batch_size):
+        gt[b, :, 0:2] = rng.rand(64, 2) * 120 - 60
+        gt[b, :, 2] = 1.0
+        gt[b, :, 3:6] = [4.5, 2.0, 1.8]
+        gt[b, :, 7] = rng.randint(1, 4, 64)
+    batch = dict(points=pts, feats=feats, valid=valid, gt_boxes=gt)
+
+    mesh = make_mesh(jax.devices()[:1], dp=1)
+    tx = optax.adam(1e-3)
+    state = init_train_state(model, tx, batch)
+    train_step = make_train_step(model, tx, mesh, loss_key="center_loss")
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # analytic FLOPs: XLA's own whole-program count (forward + backward +
+    # optimizer) — the same HLO that runs is what's counted
+    flops = None
+    try:
+        lowered = train_step.lower(state, dev_batch)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover — cost analysis is best-effort
+        print(f"# detector: cost_analysis unavailable ({type(e).__name__})", flush=True)
+
+    t0 = time.time()
+    state, losses = train_step(state, dev_batch)
+    jax.block_until_ready(losses)
+    print(f"# detector warmup (compile) step: {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, losses = train_step(state, dev_batch)
+    jax.block_until_ready(losses)
+    dt = (time.time() - t0) / n_steps
+    steps_per_sec = 1.0 / dt
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops * steps_per_sec / peak) if (flops and peak) else None
+    out = {
+        "detector": "CenterPoint/VoxelResBackBone8x",
+        "detector_train_steps_per_sec": round(steps_per_sec, 3),
+        "detector_points_per_sec": round(steps_per_sec * batch_size * n_points, 1),
+        "detector_flops_per_step": flops,
+        "detector_mfu": round(mfu, 4) if mfu is not None else None,
+        "detector_loss": float(losses["center_loss"]),
+    }
+    print(f"# detector: {out}", flush=True)
+    return out
+
+
 def main():
-    t_setup = time.time()
     _enable_compilation_cache()
     import jax
 
     from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
     from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
     from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking
+    from pcseqlearning_tpu.utils import telemetry
     from pcseqlearning_tpu.utils.edict import EDict
 
     # BENCH_FRAMES / BENCH_POINTS / BENCH_PASSES parameterize the scene up
     # to the reference envelope (210 sweeps x ~170k pts, all_sequence.yaml
-    # NUM_SWEEPS/MAX_NUM_POINTS) — FULLSCALE_r03.json records the
-    # reference-scale capacity run. The default measures a 100-frame
-    # sequence (VERDICT r2: frames/hr on >=100-frame sequences) at the
-    # ~90k-above-ground-points-per-frame density of an 8 cm-subsampled
-    # Waymo sweep.
+    # NUM_SWEEPS/MAX_NUM_POINTS) — FULLSCALE_r04.json records the
+    # reference-scale capacity run (tools/fullscale_bench.py). The default
+    # measures a 100-frame sequence (VERDICT r2: frames/hr on >=100-frame
+    # sequences) at the ~90k-above-ground-points-per-frame density of an
+    # 8 cm-subsampled Waymo sweep.
     num_frames = int(os.environ.get("BENCH_FRAMES", 100))
     points_per_frame = int(os.environ.get("BENCH_POINTS", 90_000))
     # 3 passes: the tunneled TPU is shared and identical code swings up to
@@ -163,22 +318,58 @@ def main():
 
     # the tunneled TPU is shared; a single timed pass can absorb another
     # tenant's burst (observed 10x swings on identical code) — take the
-    # best of two steady-state passes
-    elapsed = []
+    # best of the steady-state passes. Truncation telemetry is counted
+    # over the timed passes only (warmup duplicates every stage).
+    telemetry.reset()
+    elapsed, out = [], None
     for i in range(num_passes):
         t0 = time.time()
-        run_once()
+        out = run_once()
         elapsed.append(time.time() - t0)
         print(f"# timed pass {i}: {elapsed[-1]:.1f}s", flush=True)
-    elapsed = min(elapsed)
+    elapsed_best = min(elapsed)
+    counters = telemetry.snapshot()
+    for k in ("proposal_scan_windows_truncated", "proposal_halo_truncated",
+              "tracking_claim_windows_truncated", "tracking_claim_overflow"):
+        counters.setdefault(k, 0)
 
-    frames_per_hour = num_frames / elapsed * 3600.0
+    # quality: All vs Moving box mIoU straight off the returned seq_boxes
+    sb = out["seq_boxes"]
+    mov = np.asarray(sb.moving, bool)
+    all_miou = float(np.asarray(sb.best_iou).mean())
+    moving_miou = float(np.asarray(sb.best_iou)[mov].mean()) if mov.any() else None
+    static_miou = float(np.asarray(sb.best_iou)[~mov].mean()) if (~mov).any() else None
+
+    # hash-grid cell-cap audit at the caps the pipeline uses
+    cell_audit = _cell_cap_audit(seq, {
+        "cell_cap_drops_proposal_cc": (1.25, 24),
+        "cell_cap_drops_tracking_nn": (0.5, 48),
+    })
+
+    det = {}
+    if os.environ.get("BENCH_DETECTOR", "1") != "0":
+        try:
+            det = bench_detector()
+        except Exception as e:  # pragma: no cover — never kill the round run
+            import traceback
+            traceback.print_exc()
+            det = {"detector_error": f"{type(e).__name__}: {e}"}
+
+    frames_per_hour = num_frames / elapsed_best * 3600.0
     baseline = 10_000.0  # BASELINE.json north star: frames/hr/chip
     print(json.dumps({
         "metric": "extraction_frames_per_hour_per_chip",
         "value": round(frames_per_hour, 1),
         "unit": "frames/hr",
         "vs_baseline": round(frames_per_hour / baseline, 3),
+        "all_box_miou": round(all_miou, 4),
+        "moving_box_miou": round(moving_miou, 4) if moving_miou is not None else None,
+        "static_box_miou": round(static_miou, 4) if static_miou is not None else None,
+        "num_moving_gt": int(mov.sum()),
+        "num_static_gt": int((~mov).sum()),
+        **{k: int(v) for k, v in sorted(counters.items())},
+        **cell_audit,
+        **det,
     }))
 
 

@@ -260,6 +260,19 @@ def radius_neighbors(grid: HashGrid, query_fxyz, radius, k, query_valid=None, ce
     return best_i, best_d, mask
 
 
+@functools.partial(jax.jit, static_argnames=("cell_cap",))
+def cell_cap_overflow(grid: HashGrid, cell_cap=48):
+    """Points dropped by the per-bucket ``cell_cap`` clip: sum over hash
+    buckets of max(0, bucket_count - cell_cap). A nonzero value means some
+    queries may miss true neighbors (quality-affecting truncation) — bench
+    audits this per stage config and records it in the JSON artifacts.
+
+    Traced int32 (the caller reads it to host)."""
+    # offsets is [T + 2]: cumsum over T valid buckets + 1 invalid-row bucket
+    counts = grid.offsets[1:-1] - grid.offsets[:-2]
+    return jnp.sum(jnp.maximum(counts - cell_cap, 0))
+
+
 def radius_graph(ref_fxyz, query_fxyz, radius, k, ref_valid=None, query_valid=None, cell_cap=48):
     """Convenience: build grid + query in one call.
 

@@ -191,6 +191,11 @@ def radius_neighbors_sorted(
     win_lo = (win_lo // 128) * 128  # lane-aligned DMA starts
     win_lo = jnp.minimum(win_lo, jnp.maximum(n_pad - W_k, 0))
     win_start = jnp.transpose(win_lo).reshape(-1)  # [nb*3], int32
+    # per-block candidate flag: a block whose three windows are ALL empty
+    # (every query's runs empty — the common case when sparse refs are
+    # claimed against a dense full-res cloud) skips its DMAs and scan
+    # rounds entirely inside the kernel
+    blk_any = jnp.any(has_any, axis=0).astype(jnp.int32)  # [nb]
 
     # kernel inputs: [nb, Bq, 8] query blocks + bounds (coords/bounds on
     # the 8-lane tail dim so [Bq, 1] column slices need no transpose)
@@ -202,7 +207,7 @@ def radius_neighbors_sorted(
 
     ko = max(8, k)
     bd, bp = _scan_kernel_call(
-        win_start, r2.reshape(1), table, qB, bpad,
+        win_start, blk_any, r2.reshape(1), table, qB, bpad,
         nb=nb, Bq=Bq, W=W_k, k=k, ko=ko, interpret=interpret,
     )
     # [nb, Bq, ko] -> [Mp, k]
@@ -229,14 +234,14 @@ def radius_neighbors_sorted(
 # ---------------------------------------------------------------------------
 
 
-def _scan_kernel_call(win_start, r2, table, qT, bounds, *, nb, Bq, W, k, ko,
-                      interpret=False):
+def _scan_kernel_call(win_start, blk_any, r2, table, qT, bounds, *, nb, Bq,
+                      W, k, ko, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = functools.partial(_scan_kernel, Bq=Bq, W=W, k=k, ko=ko)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # win_start, r2
+        num_scalar_prefetch=3,  # win_start, blk_any, r2
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # table [8, Np] stays HBM
@@ -264,10 +269,10 @@ def _scan_kernel_call(win_start, r2, table, qT, bounds, *, nb, Bq, W, k, ko,
             jax.ShapeDtypeStruct((nb, Bq, ko), jnp.int32),
         ],
         interpret=interpret,
-    )(win_start, r2, table, qT, bounds)
+    )(win_start, blk_any, r2, table, qT, bounds)
 
 
-def _scan_kernel(wstart_ref, r2_ref, table_ref, q_ref, bounds_ref,
+def _scan_kernel(wstart_ref, wany_ref, r2_ref, table_ref, q_ref, bounds_ref,
                  bd_ref, bp_ref, win_scratch, dma_sems, *, Bq, W, k, ko):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -275,73 +280,83 @@ def _scan_kernel(wstart_ref, r2_ref, table_ref, q_ref, bounds_ref,
     b = pl.program_id(0)
     r2 = r2_ref[0]
 
-    # start all three window DMAs up front, then overlap with setup
-    copies = []
-    for dx in range(3):
-        ws = pl.multiple_of(wstart_ref[b * 3 + dx], 128)
-        cp = pltpu.make_async_copy(
-            table_ref.at[:, pl.ds(ws, W)],
-            win_scratch.at[dx],
-            dma_sems.at[dx],
-        )
-        cp.start()
-        copies.append(cp)
+    # empty blocks (all three windows candidate-free — the common case when
+    # sparse refs are claimed against a dense cloud) write the empty result
+    # and skip the DMAs and all scan rounds
+    @pl.when(wany_ref[b] == 0)
+    def _empty():
+        bd_ref[0] = jnp.full((Bq, ko), _BIG, jnp.float32)
+        bp_ref[0] = jnp.full((Bq, ko), -1, jnp.int32)
 
-    q = q_ref[0]  # [Bq, 8]
-    qx = q[:, 0:1]  # [Bq, 1]
-    qy = q[:, 1:2]
-    qz = q[:, 2:3]
+    @pl.when(wany_ref[b] != 0)
+    def _scan():
+        # start all three window DMAs up front, then overlap with setup
+        copies = []
+        for dx in range(3):
+            ws = pl.multiple_of(wstart_ref[b * 3 + dx], 128)
+            cp = pltpu.make_async_copy(
+                table_ref.at[:, pl.ds(ws, W)],
+                win_scratch.at[dx],
+                dma_sems.at[dx],
+            )
+            cp.start()
+            copies.append(cp)
 
-    best_d = jnp.full((Bq, ko), _BIG, jnp.float32)
-    best_p = jnp.full((Bq, ko), -1, jnp.int32)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (Bq, ko), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Bq, W), 1)
-    merge_iota = jax.lax.broadcasted_iota(jnp.int32, (Bq, ko + W), 1)
+        q = q_ref[0]  # [Bq, 8]
+        qx = q[:, 0:1]  # [Bq, 1]
+        qy = q[:, 1:2]
+        qz = q[:, 2:3]
 
-    for dx in range(3):
-        copies[dx].wait()
-        win = win_scratch[dx]  # [8, W]
-        ws = wstart_ref[b * 3 + dx]
-        wx = win[0:1, :]  # [1, W]
-        wy = win[1:2, :]
-        wz = win[2:3, :]
-        ddx = qx - wx  # [Bq, W]
-        ddy = qy - wy
-        ddz = qz - wz
-        d2 = ddx * ddx + ddy * ddy + ddz * ddz
-        pos = ws + lane_iota  # [Bq, W] global sorted positions
-        q_lo = bounds_ref[0, :, dx: dx + 1]  # [Bq, 1]
-        q_hi = bounds_ref[0, :, 3 + dx: 4 + dx]
-        okm = (pos >= q_lo) & (pos < q_hi) & (d2 <= r2)
-        d2m = jnp.where(okm, d2, _BIG)
+        best_d = jnp.full((Bq, ko), _BIG, jnp.float32)
+        best_p = jnp.full((Bq, ko), -1, jnp.int32)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (Bq, ko), 1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (Bq, W), 1)
+        merge_iota = jax.lax.broadcasted_iota(jnp.int32, (Bq, ko + W), 1)
 
-        cand_d = jnp.concatenate([best_d, d2m], axis=1)  # [Bq, ko+W]
-        cand_p = jnp.concatenate([best_p, pos], axis=1)
+        for dx in range(3):
+            copies[dx].wait()
+            win = win_scratch[dx]  # [8, W]
+            ws = wstart_ref[b * 3 + dx]
+            wx = win[0:1, :]  # [1, W]
+            wy = win[1:2, :]
+            wz = win[2:3, :]
+            ddx = qx - wx  # [Bq, W]
+            ddy = qy - wy
+            ddz = qz - wz
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+            pos = ws + lane_iota  # [Bq, W] global sorted positions
+            q_lo = bounds_ref[0, :, dx: dx + 1]  # [Bq, 1]
+            q_hi = bounds_ref[0, :, 3 + dx: 4 + dx]
+            okm = (pos >= q_lo) & (pos < q_hi) & (d2 <= r2)
+            d2m = jnp.where(okm, d2, _BIG)
 
-        def merge_body(j, carry):
-            cand_d, cand_p, out_d, out_p = carry
-            mn = jnp.min(cand_d, axis=1, keepdims=True)  # [Bq, 1]
-            hit = cand_d == mn
-            sel = jnp.min(jnp.where(hit, merge_iota, _BIGI), axis=1,
-                          keepdims=True)  # [Bq, 1]
-            is_sel = merge_iota == sel
-            p_sel = jnp.max(jnp.where(is_sel, cand_p, -_BIGI - 1), axis=1,
-                            keepdims=True)
-            put = out_lane == j
-            out_d = jnp.where(put, mn, out_d)
-            out_p = jnp.where(put, jnp.where(mn < _BIG * 0.5, p_sel, -1),
-                              out_p)
-            cand_d = jnp.where(is_sel, _BIG, cand_d)
-            return cand_d, cand_p, out_d, out_p
+            cand_d = jnp.concatenate([best_d, d2m], axis=1)  # [Bq, ko+W]
+            cand_p = jnp.concatenate([best_p, pos], axis=1)
 
-        _, _, best_d, best_p = jax.lax.fori_loop(
-            0, k, merge_body,
-            (cand_d, cand_p, jnp.full((Bq, ko), _BIG, jnp.float32),
-             jnp.full((Bq, ko), -1, jnp.int32)),
-        )
+            def merge_body(j, carry):
+                cand_d, cand_p, out_d, out_p = carry
+                mn = jnp.min(cand_d, axis=1, keepdims=True)  # [Bq, 1]
+                hit = cand_d == mn
+                sel = jnp.min(jnp.where(hit, merge_iota, _BIGI), axis=1,
+                              keepdims=True)  # [Bq, 1]
+                is_sel = merge_iota == sel
+                p_sel = jnp.max(jnp.where(is_sel, cand_p, -_BIGI - 1), axis=1,
+                                keepdims=True)
+                put = out_lane == j
+                out_d = jnp.where(put, mn, out_d)
+                out_p = jnp.where(put, jnp.where(mn < _BIG * 0.5, p_sel, -1),
+                                  out_p)
+                cand_d = jnp.where(is_sel, _BIG, cand_d)
+                return cand_d, cand_p, out_d, out_p
 
-    bd_ref[0] = best_d
-    bp_ref[0] = best_p
+            _, _, best_d, best_p = jax.lax.fori_loop(
+                0, k, merge_body,
+                (cand_d, cand_p, jnp.full((Bq, ko), _BIG, jnp.float32),
+                 jnp.full((Bq, ko), -1, jnp.int32)),
+            )
+
+        bd_ref[0] = best_d
+        bp_ref[0] = best_p
 
 
 # ---------------------------------------------------------------------------

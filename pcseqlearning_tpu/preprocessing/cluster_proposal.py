@@ -22,6 +22,7 @@ from ..ops import boxes as box_ops
 from ..ops import connected_components as cc
 from ..ops import hash_graph
 from ..ops import pallas_scan
+from ..utils import telemetry
 from ..utils.edict import EDict
 from ..utils.padding import bucket_size, pad_rows
 
@@ -297,9 +298,11 @@ class ClusterProposal:
                 num = int(comp_np.max()) + 1 if n_pts else 0
                 components[comp_key][m] = comp_np + totals[comp_key]
                 totals[comp_key] += num
-                if int(np.asarray(ntrunc).sum()) > 0:
+                n_halo = int(np.asarray(ntrunc).sum())
+                telemetry.add("proposal_halo_truncated", n_halo)
+                if n_halo > 0:
                     print(f"Cluster Proposal {comp_key}: WARNING "
-                          f"{int(np.asarray(ntrunc).sum())} halo points truncated "
+                          f"{n_halo} halo points truncated "
                           f"at HALO_CAP={self.halo_cap}")
                 continue
             _, comp, num, ntrunc, off, radius = payload
@@ -322,6 +325,7 @@ class ClusterProposal:
             components[comp_key][m] = comp_np[off: off + n_pts] + totals[comp_key]
             totals[comp_key] += int(num)
             if ntrunc is not None and int(ntrunc) > 0:
+                telemetry.add("proposal_scan_windows_truncated", int(ntrunc))
                 print(f"Cluster Proposal {comp_key}: WARNING "
                       f"{int(ntrunc)} scan windows truncated at the top "
                       f"ladder W={pallas_scan.CC_W_LADDER[-1]}")

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..ops import boxes as box_ops
 from ..ops import grid_utils, hash_graph, segment_ops
+from ..utils import telemetry
 from ..utils.edict import EDict
 from ..utils.padding import bucket_size, pad_rows
 from .registration import register_to_next_frame
@@ -1157,7 +1158,7 @@ class ClusterTracking:
             assert len(active_comps) < 32767 and b_cap < 32767, \
                 "int16 wire format overflow"
             _tp = self._tick("ex_pack", _tp)
-            comp_all, _ = _window_claim_pallas(
+            comp_all, claim_ntrunc = _window_claim_pallas(
                 jnp.asarray(refs), jnp.asarray(rvalid), jnp.asarray(ref_comp),
                 jnp.asarray(qx_all.reshape(-1, 4)), jnp.asarray(qv_all.reshape(-1)),
                 jnp.asarray(claim_r, jnp.float32),
@@ -1179,7 +1180,7 @@ class ClusterTracking:
             claim_cap = min(bucket_size(4 * max(E, 256)), Fw * n_cap)
             pos_c, comp_c, gt_c, cnt_c = _compact_claims(
                 comp_all.reshape(-1), gt_all.reshape(-1), claim_cap)
-            for v in (pos_c, comp_c, gt_c, cnt_c, m1cnt_all):
+            for v in (pos_c, comp_c, gt_c, cnt_c, m1cnt_all, claim_ntrunc):
                 try:
                     v.copy_to_host_async()
                 except AttributeError:
@@ -1191,6 +1192,7 @@ class ClusterTracking:
                 pos_c=pos_c, comp_c=comp_c, gt_c=gt_c, cnt_c=cnt_c,
                 m1cnt_all=m1cnt_all, comp_all=comp_all, gt_all=gt_all,
                 claim_cap=claim_cap, Fw=Fw, n_cap=n_cap,
+                ntrunc=claim_ntrunc,
             )
             return EDict(
                 noop=False, extracted=extracted, pending=None,
@@ -1252,6 +1254,7 @@ class ClusterTracking:
             # Pallas window-claim path: resolve sparse-vs-dense now
             ps = st.pallas
             _tp = __import__("time").time()
+            telemetry.add("tracking_claim_windows_truncated", int(ps.ntrunc))
             n_claim = int(ps.cnt_c)
             m1cnt_np = np.asarray(ps.m1cnt_all)
             Fw, n_cap, claim_cap = ps.Fw, ps.n_cap, ps.claim_cap
@@ -1259,6 +1262,7 @@ class ClusterTracking:
             if n_claim > claim_cap:
                 # overflow — fall back to the dense drain (rare; cap is 4x
                 # the extracted count)
+                telemetry.add("tracking_claim_overflow", 1)
                 print(f"Cluster Tracking: claim compaction overflow "
                       f"({n_claim} > {claim_cap}), dense drain")
                 comp_np_all = np.asarray(ps.comp_all).reshape(Fw, n_cap)

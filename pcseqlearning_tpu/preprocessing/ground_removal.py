@@ -749,43 +749,75 @@ def _count_voxel_sort1(fxyz, n, inv_cell, bits, n_levels):
     return jnp.stack(counts)
 
 
+# canonical key layout for the single-sort counter: 11+11+9 = 31 bits,
+# independent of the scene extent. Scene-derived ``bits`` were a compile
+# trap: every new extent minted a new (bits, n_lv) static config, and ONE
+# variant of the 35M-point sort program costs ~190 s to compile — with the
+# canonical layout every sequence shares one cached program.
+_CANON_BITS = (11, 11, 9)
+_CANON_LEVELS = 5
+
+
+@jax.jit
+def _ext_minmax(fxyz, n):
+    """Device min/max of the valid xyz rows (the 35M-row host scan costs
+    ~1.7 s on this box; on device it is one HBM pass)."""
+    xyz = fxyz[:, 1:4]
+    m = jnp.arange(xyz.shape[0], dtype=jnp.int32) < n
+    big = jnp.asarray(3e38, xyz.dtype)
+    mn = jnp.min(jnp.where(m[:, None], xyz, big), axis=0)
+    mx = jnp.max(jnp.where(m[:, None], xyz, -big), axis=0)
+    return mn, mx
+
+
 def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
     """Pick the finest dyadic coarsening of the (0.10, 0.10, 0.03) solve
     grid whose occupied-cell count fits ``solve_cap``; returns (s, n_occ).
 
-    Strategy: find the finest candidate level whose packed cell key fits
-    an int32, then count it AND every coarser level with ONE single-key
-    device sort (_count_voxel_sort1). Finer levels whose keys overflow are
-    treated as over-cap — they only arise when the extent is huge at a
-    fine cell, where the count exceeds any practical solve_cap anyway
-    (sizing heuristic only; the reference always solves at fixed 10 cm,
-    preprocessor_utils.py:369 — coarsening is this port's HBM budget
-    mechanism). Falls back to the scatter+max-pool hierarchical counter,
-    then the 3-key Morton sort, on failure."""
-    ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
+    Strategy: start at the finest level whose cell dims fit the canonical
+    (2^11, 2^11, 2^9) key layout, then count it AND the next four coarser
+    levels with ONE single-key device sort (_count_voxel_sort1) — a single
+    compiled program shared by every scene (sizing heuristic only; the
+    reference always solves at fixed 10 cm, preprocessor_utils.py:369 —
+    coarsening is this port's HBM budget mechanism). Falls back to the
+    scatter+max-pool hierarchical counter, then the 3-key Morton sort, on
+    failure."""
+    import time as _t
+    _tp = _t.time()
+    try:
+        mn, mx = (np.asarray(v) for v in _ext_minmax(
+            fxyz0, jnp.asarray(n, jnp.int32)))
+        ext = mx - mn
+    except Exception:  # pragma: no cover - device-only failure
+        ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
+    if os.environ.get("PCSEQ_PROF"):
+        print(f"COUNT_PROF ext={_t.time() - _tp:.2f}s", flush=True)
     base = np.asarray([0.10, 0.10, 0.03])
+    caps = np.asarray([1 << b for b in _CANON_BITS], np.int64)
     for s in range(S):
         cell = base * (2.0 ** s)
         dims = np.floor(ext / cell).astype(np.int64) + 1
-        n_lv = S - s
-        L = max(n_lv - 1, 0)
-        bits = tuple(max(int(np.ceil(np.log2(max(int(d), 2)))), 1) for d in dims)
-        width = 3 * L + sum(max(b - L, 0) for b in bits)
-        if width <= 31:
-            inv = jnp.asarray(1.0 / cell, jnp.float32)
-            try:
-                counts = np.asarray(_count_voxel_sort1(
-                    fxyz0, jnp.asarray(n, jnp.int32), inv, bits, n_lv))
-            except Exception:  # pragma: no cover - device-only failure
-                import traceback
+        if not (dims <= caps).all():
+            continue  # extent too large for the canonical key at this level
+        inv = jnp.asarray(1.0 / cell, jnp.float32)
+        n_lv = _CANON_LEVELS
+        try:
+            _tp = _t.time()
+            counts = np.asarray(_count_voxel_sort1(
+                fxyz0, jnp.asarray(n, jnp.int32), inv, _CANON_BITS, n_lv))
+            if os.environ.get("PCSEQ_PROF"):
+                print(f"COUNT_PROF sort1={_t.time() - _tp:.2f}s "
+                      f"(s={s}, n_lv={n_lv})", flush=True)
+        except Exception:  # pragma: no cover - device-only failure
+            import traceback
 
-                print("[ground] sort-based voxel counter failed, falling "
-                      "back to scatter counts:\n" + traceback.format_exc())
-                break
-            for i in range(n_lv):
-                if int(counts[i]) <= solve_cap or n <= solve_cap:
-                    return s + i, int(counts[i])
-            return s + n_lv - 1, int(counts[-1])
+            print("[ground] sort-based voxel counter failed, falling "
+                  "back to scatter counts:\n" + traceback.format_exc())
+            break
+        for i in range(n_lv):
+            if int(counts[i]) <= solve_cap or n <= solve_cap:
+                return s + i, int(counts[i])
+        return s + n_lv - 1, int(counts[-1])
     chosen = None
     for s in range(S):
         cell = base * (2.0 ** s)

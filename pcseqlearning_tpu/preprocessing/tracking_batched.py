@@ -446,7 +446,10 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     )  # [C, N]
     comp_open = ~new_stopped & (jnp.sum(ext_mask, axis=1) > 0)
     d2gate = jnp.where(comp_open[:, None], d2cn_post, jnp.inf)
-    _, near2 = jax.lax.top_k(-d2gate.T, 2)  # [N, 2]
+    C_all = d2gate.shape[0]
+    _, near2 = jax.lax.top_k(-d2gate.T, min(2, C_all))  # [N, <=2]
+    if C_all < 2:  # single-component window: duplicate the only candidate
+        near2 = jnp.concatenate([near2, near2], axis=1)
     near2 = near2.astype(jnp.int32)
     # full-resolution member test: cur_pts == T_cum(anchor pack), so the
     # denser extraction tile moves by the same accumulated transform
@@ -574,7 +577,10 @@ def track_window_batched_dispatch(
                 min_move_frame=min_move_frame, num_candidates=num_candidates,
             )
         _tick("walk_dispatch", _t0)
-        moving_final = carry[3]
+        # AND across directions (host walk: moving_total &= moving per
+        # direction, cluster_tracking.py:929) — each direction's min-move
+        # gate must be able to veto independently
+        moving_final = moving_final & carry[3]
         for i, k in enumerate(_GLOBAL_KEYS):
             g[k] = carry[6 + i]
 
