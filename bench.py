@@ -196,12 +196,14 @@ def bench_detector():
     train_step = make_train_step(model, tx, mesh, loss_key="center_loss")
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    # analytic FLOPs: XLA's own whole-program count (forward + backward +
-    # optimizer) — the same HLO that runs is what's counted
+    # analytic FLOPs: XLA's HLO cost analysis on the lowered (unoptimized)
+    # program — forward + backward + optimizer. NOT compile().cost_analysis():
+    # that builds a second AOT executable, and the tunnel's remote compile
+    # helper gets OOM-killed on a program this size.
     flops = None
     try:
         lowered = train_step.lower(state, dev_batch)
-        cost = lowered.compile().cost_analysis()
+        cost = lowered.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None

@@ -44,17 +44,23 @@ class VoxelBackBone8x(nn.Module):
         cap = feats.shape[0]
 
         c = self.channels
-        x = SubMConvBlock(c[0], name="conv_input")(st, train)
-        x_conv1 = SubMConvBlock(c[1], name="conv1")(x, train)
+        # one rulebook per stage: subm convs don't change coords, so every
+        # conv in a stage shares the (dominant-cost) coordinate lookup
+        rb1 = sc.build_subm_rulebook(st, 3)
+        x = SubMConvBlock(c[0], name="conv_input")(st, train, rb1)
+        x_conv1 = SubMConvBlock(c[1], name="conv1")(x, train, rb1)
         x = SparseConvBlock(c[2], out_cap=cap, name="conv2_down")(x_conv1, train)
-        x = SubMConvBlock(c[2], name="conv2_a")(x, train)
-        x_conv2 = SubMConvBlock(c[2], name="conv2_b")(x, train)
+        rb2 = sc.build_subm_rulebook(x, 3)
+        x = SubMConvBlock(c[2], name="conv2_a")(x, train, rb2)
+        x_conv2 = SubMConvBlock(c[2], name="conv2_b")(x, train, rb2)
         x = SparseConvBlock(c[3], out_cap=max(cap // 2, 1), name="conv3_down")(x_conv2, train)
-        x = SubMConvBlock(c[3], name="conv3_a")(x, train)
-        x_conv3 = SubMConvBlock(c[3], name="conv3_b")(x, train)
+        rb3 = sc.build_subm_rulebook(x, 3)
+        x = SubMConvBlock(c[3], name="conv3_a")(x, train, rb3)
+        x_conv3 = SubMConvBlock(c[3], name="conv3_b")(x, train, rb3)
         x = SparseConvBlock(c[4], out_cap=max(cap // 4, 1), name="conv4_down")(x_conv3, train)
-        x = SubMConvBlock(c[4], name="conv4_a")(x, train)
-        x_conv4 = SubMConvBlock(c[4], name="conv4_b")(x, train)
+        rb4 = sc.build_subm_rulebook(x, 3)
+        x = SubMConvBlock(c[4], name="conv4_a")(x, train, rb4)
+        x_conv4 = SubMConvBlock(c[4], name="conv4_b")(x, train, rb4)
         # last conv: stride (2,1,1) kernel (3,1,1) compressing z
         out = SparseConvBlock(
             self.out_channels, kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=0,
@@ -91,18 +97,23 @@ class VoxelResBackBone8x(nn.Module):
         cap = feats.shape[0]
 
         c = self.channels
-        x = SubMConvBlock(c[0], name="conv_input")(st, train)
-        x = SparseBasicBlock(c[1], name="res1_a")(x, train)
-        x_conv1 = SparseBasicBlock(c[1], name="res1_b")(x, train)
+        # one rulebook per stage (coords are stable across subm/res blocks)
+        rb1 = sc.build_subm_rulebook(st, 3)
+        x = SubMConvBlock(c[0], name="conv_input")(st, train, rb1)
+        x = SparseBasicBlock(c[1], name="res1_a")(x, train, rb1)
+        x_conv1 = SparseBasicBlock(c[1], name="res1_b")(x, train, rb1)
         x = SparseConvBlock(c[2], out_cap=cap, name="conv2_down")(x_conv1, train)
-        x = SparseBasicBlock(c[2], name="res2_a")(x, train)
-        x_conv2 = SparseBasicBlock(c[2], name="res2_b")(x, train)
+        rb2 = sc.build_subm_rulebook(x, 3)
+        x = SparseBasicBlock(c[2], name="res2_a")(x, train, rb2)
+        x_conv2 = SparseBasicBlock(c[2], name="res2_b")(x, train, rb2)
         x = SparseConvBlock(c[3], out_cap=max(cap // 2, 1), name="conv3_down")(x_conv2, train)
-        x = SparseBasicBlock(c[3], name="res3_a")(x, train)
-        x_conv3 = SparseBasicBlock(c[3], name="res3_b")(x, train)
+        rb3 = sc.build_subm_rulebook(x, 3)
+        x = SparseBasicBlock(c[3], name="res3_a")(x, train, rb3)
+        x_conv3 = SparseBasicBlock(c[3], name="res3_b")(x, train, rb3)
         x = SparseConvBlock(c[4], out_cap=max(cap // 4, 1), name="conv4_down")(x_conv3, train)
-        x = SparseBasicBlock(c[4], name="res4_a")(x, train)
-        x_conv4 = SparseBasicBlock(c[4], name="res4_b")(x, train)
+        rb4 = sc.build_subm_rulebook(x, 3)
+        x = SparseBasicBlock(c[4], name="res4_a")(x, train, rb4)
+        x_conv4 = SparseBasicBlock(c[4], name="res4_b")(x, train, rb4)
         out = SparseConvBlock(
             self.out_channels, kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=0,
             out_cap=max(cap // 4, 1), name="conv_out",

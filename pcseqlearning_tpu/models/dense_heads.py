@@ -347,7 +347,11 @@ class CenterHead(nn.Module):
         """gt_boxes [B, G, 8]; returns heatmap [B, H, W, ncls], reg targets
         [B, K, 8], inds [B, K], mask [B, K] (K = max_objs)."""
         nx, ny = self.grid_size_xy
-        fx, fy = nx // self.feature_stride, ny // self.feature_stride
+        # ceil-div: the stride-2 spconv stack emits ceil(n/2) per stage
+        # (ceil(ceil(ceil(n/2)/2)/2) == ceil(n/8)), so a grid not divisible
+        # by the stride still matches the conv output's spatial dims
+        fx = -(-nx // self.feature_stride)
+        fy = -(-ny // self.feature_stride)
         pcr = jnp.asarray(self.point_cloud_range)
         vx = (pcr[3] - pcr[0]) / nx
         vy = (pcr[4] - pcr[1]) / ny

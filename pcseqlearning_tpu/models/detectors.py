@@ -211,7 +211,8 @@ class Detector3DTemplate(nn.Module):
             fm_stride = int(head_cfg.get("FEATURE_MAP_STRIDE", stride))
             self.dense_head = AnchorHeadWrap(
                 num_classes=self.num_classes,
-                grid_size_xy=(self.grid_size[0] // fm_stride, self.grid_size[1] // fm_stride),
+                grid_size_xy=(-(-self.grid_size[0] // fm_stride),
+                              -(-self.grid_size[1] // fm_stride)),
                 point_cloud_range=self.point_cloud_range,
                 anchor_cfgs=tuple(EDictHashable(a) for a in anchor_cfgs),
                 predict_iou=bool(cfg.get("NAME", "")) and cfg.get("NAME") == "SECONDNetIoU",

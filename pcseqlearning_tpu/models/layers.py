@@ -119,7 +119,7 @@ class SubMConvBlock(nn.Module):
     use_act: bool = True
 
     @nn.compact
-    def __call__(self, st: sc.SparseTensor, train: bool = False):
+    def __call__(self, st: sc.SparseTensor, train: bool = False, rulebook=None):
         ks = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) else (self.kernel_size,) * 3
         k = int(np.prod(ks))
         cin = st.features.shape[-1]
@@ -128,7 +128,7 @@ class SubMConvBlock(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (k, cin, self.out_channels),
         )
-        out = sc.subm_conv3d(st, w, kernel_size=self.kernel_size)
+        out = sc.subm_conv3d(st, w, kernel_size=self.kernel_size, rulebook=rulebook)
         f = out.features
         if self.use_norm:
             f = MaskedBatchNorm()(f, out.valid, train)
@@ -180,10 +180,14 @@ class SparseBasicBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, st: sc.SparseTensor, train: bool = False):
+    def __call__(self, st: sc.SparseTensor, train: bool = False, rulebook=None):
+        # both subm convs run on the same coordinate set — one rulebook
+        # (built here if the caller didn't pass a stage-shared one)
+        if rulebook is None:
+            rulebook = sc.build_subm_rulebook(st, 3)
         identity = st.features
-        out = SubMConvBlock(self.channels, use_act=True)(st, train)
-        out = SubMConvBlock(self.channels, use_act=False)(out, train)
+        out = SubMConvBlock(self.channels, use_act=True)(st, train, rulebook)
+        out = SubMConvBlock(self.channels, use_act=False)(out, train, rulebook)
         f = nn.relu(out.features + identity)
         f = jnp.where(out.valid[:, None], f, 0.0)
         return out._replace(features=f)

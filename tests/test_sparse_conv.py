@@ -123,3 +123,36 @@ def test_to_dense(rng):
     dense = np.asarray(sc.to_dense(st))
     ref = _dense_from_sparse(coords, feats, st.spatial_shape, st.batch_size, 4)
     np.testing.assert_allclose(dense, ref, atol=1e-6)
+
+
+def test_dense_table_matches_hash_lookup(rng):
+    """The dense scatter/gather coord table and the sorted-hash lookup must
+    resolve identical rulebooks (the dense path is the TPU fast path; the
+    hash path serves grids beyond PCSEQ_DENSE_TABLE_CAP)."""
+    from pcseqlearning_tpu.ops import hash_graph
+
+    st, coords, feats = _make_sparse(rng, n_active=50, shape=(6, 9, 7), batch=3, cap=96)
+    offs = np.asarray(sc.kernel_offsets(3)) - 1
+    v = st.coords.shape[0]
+    q = np.asarray(st.coords)[None, :, :].repeat(27, 0).astype(np.int32)
+    q[..., 1:4] += offs[:, None, :]
+    q = q.reshape(-1, 4)
+    qv = np.asarray(jnp.broadcast_to(st.valid[None, :], (27, v))).reshape(-1)
+
+    tab = sc._dense_coord_table(st)
+    got_dense = np.asarray(sc._dense_lookup(
+        tab, st.spatial_shape, st.batch_size, jnp.asarray(q), jnp.asarray(qv)))
+    table = hash_graph.build_coord_table(st.coords, st.valid)
+    got_hash = np.asarray(hash_graph.coord_lookup(table, jnp.asarray(q), jnp.asarray(qv)))
+    np.testing.assert_array_equal(got_dense, got_hash)
+
+
+def test_shared_rulebook_matches_fresh(rng):
+    """subm_conv3d with a precomputed (stage-shared) rulebook must equal the
+    self-built path."""
+    st, coords, feats = _make_sparse(rng)
+    w = rng.randn(27, 4, 6).astype(np.float32) * 0.1
+    rb = sc.build_subm_rulebook(st, 3)
+    a = sc.subm_conv3d(st, jnp.asarray(w), precision=HI)
+    b = sc.subm_conv3d(st, jnp.asarray(w), precision=HI, rulebook=rb)
+    np.testing.assert_allclose(np.asarray(a.features), np.asarray(b.features), atol=0)
