@@ -24,16 +24,47 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _extract_points_native(frame, calibration, dataset_pb2, tf):
+    """First-return extraction via the native spherical math
+    (pcseqlearning_tpu/datasets/range_image.py) — used when
+    waymo_open_dataset.utils is absent. Skips the TOP lidar's per-pixel
+    rolling-shutter pose correction (cm-scale; frame_utils applies it when
+    available)."""
+    from pcseqlearning_tpu.datasets.range_image import extract_points
+
+    laser = next(l for l in frame.lasers if l.name == calibration.name)
+    comp = laser.ri_return1.range_image_compressed
+    if not comp:
+        return np.zeros((0, 6), np.float32)
+    ri = dataset_pb2.MatrixFloat()
+    ri.ParseFromString(bytearray(
+        tf.io.decode_compressed(comp, "ZLIB").numpy()))
+    t = np.asarray(ri.data, np.float32).reshape(ri.shape.dims)
+    extrinsic = np.asarray(calibration.extrinsic.transform,
+                           np.float64).reshape(4, 4)
+    incl = (np.asarray(calibration.beam_inclinations, np.float64)
+            if len(calibration.beam_inclinations)
+            else None)
+    rng = (calibration.beam_inclination_min, calibration.beam_inclination_max)
+    return extract_points(t, extrinsic, inclination=incl,
+                          inclination_range=rng)
+
+
 def process_single_sequence(seq_file, out_dir, has_label=True, sampled_interval=1):
     try:
         import tensorflow as tf
         from waymo_open_dataset import dataset_pb2
-        from waymo_open_dataset.utils import frame_utils, range_image_utils, transform_utils
     except ImportError as e:
         raise SystemExit(
-            "waymo-open-dataset + tensorflow are required for offline extraction; "
-            "install them in a separate conversion environment"
+            "waymo-open-dataset protos + tensorflow are required to parse "
+            "TFRecords; install them in a separate conversion environment"
         ) from e
+    try:
+        from waymo_open_dataset.utils import frame_utils
+    except ImportError:
+        # the projection math is native (oracle-tested in
+        # tests/test_range_image.py) — only proto parsing needs the package
+        frame_utils = None
 
     seq_name = Path(seq_file).stem.replace(".tfrecord", "")
     seq_dir = Path(out_dir) / seq_name
@@ -45,13 +76,17 @@ def process_single_sequence(seq_file, out_dir, has_label=True, sampled_interval=
             continue
         frame = dataset_pb2.Frame()
         frame.ParseFromString(bytearray(data.numpy()))
-        ri, cp, seg_labels, ri_pose = frame_utils.parse_range_image_and_camera_projection(frame)
-
-        # range image -> point cloud with polar features + image coords
-        points, cp_points = frame_utils.convert_range_image_to_point_cloud(
-            frame, ri, cp, ri_pose, keep_polar_features=True
-        )
-        pts = np.concatenate(points, axis=0)  # [N, 6]: range, intensity, elongation, x, y, z
+        if frame_utils is not None:
+            ri, cp, seg_labels, ri_pose = frame_utils.parse_range_image_and_camera_projection(frame)
+            # range image -> point cloud with polar features + image coords
+            points, cp_points = frame_utils.convert_range_image_to_point_cloud(
+                frame, ri, cp, ri_pose, keep_polar_features=True
+            )
+            pts = np.concatenate(points, axis=0)  # [N, 6]: range, intensity, elongation, x, y, z
+        else:
+            pts = np.concatenate(
+                [_extract_points_native(frame, c, dataset_pb2, tf)
+                 for c in frame.context.laser_calibrations], axis=0)
         xyz = pts[:, 3:6]
         out = np.zeros((len(xyz), 8), np.float32)
         out[:, 0:3] = xyz
