@@ -49,11 +49,20 @@ class PointPillarScatter(nn.Module):
         b = int(batch_dict["batch_size"])
         W, H = self.grid_size[0], self.grid_size[1]
         c = feats.shape[-1]
+        # gather formulation (see ops/sparse_conv.to_dense): scatter P int32
+        # row ids, then gather rows per BEV cell — a [P, C] float scatter
+        # serializes on TPU; pillar coords are unique (dynamic voxelization
+        # dedupes), so set-then-gather is exact
+        p = feats.shape[0]
+        L = b * H * W
         lin = (coords[:, 0] * H + coords[:, 2]) * W + coords[:, 3]
-        lin = jnp.where(valid, lin, b * H * W)
-        flat = jnp.zeros((b * H * W + 1, c), feats.dtype)
-        flat = flat.at[lin].add(jnp.where(valid[:, None], feats, 0.0))
-        batch_dict["spatial_features"] = flat[:-1].reshape(b, H, W, c)
+        lin = jnp.where(valid, lin, L)
+        table = jnp.full(L + 1, p, jnp.int32).at[lin].set(
+            jnp.arange(p, dtype=jnp.int32), mode="drop")
+        feats_z = jnp.concatenate(
+            [jnp.where(valid[:, None], feats, 0.0),
+             jnp.zeros((1, c), feats.dtype)], axis=0)
+        batch_dict["spatial_features"] = feats_z[table[:L]].reshape(b, H, W, c)
         batch_dict["spatial_features_stride"] = 1
         return batch_dict
 
