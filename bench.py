@@ -239,6 +239,12 @@ def main():
     _enable_compilation_cache()
     import jax
 
+    # the tunneled backend's first D2H stalls the transfer channel for
+    # minutes — absorb it behind the host-only scene build
+    from pcseqlearning_tpu.utils.warmup import warm_d2h_async
+
+    warm_d2h_async()
+
     from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
     from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
     from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking

@@ -27,6 +27,18 @@ from ..utils.edict import EDict
 from ..utils.padding import bucket_size, pad_rows
 
 
+@jax.jit
+def _comp_wire16(comp):
+    """int16 wire copy of a chunk's component labels (-1 pads preserved).
+
+    Per-chunk component counts sit in the low thousands at Waymo scale, so
+    the D2H wire — the drain's dominant cost through the ~20 MB/s tunnel —
+    halves; the int32 original stays device-resident as the overflow
+    fallback (num_components > int16 is detected from the count scalar
+    before the labels are consumed)."""
+    return comp.astype(jnp.int16)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cell_cap"))
 def _chunk_components(fxyz, valid, radius, k, cell_cap=48):
     """Radius graph + CC over one (padded) frame chunk."""
@@ -243,7 +255,8 @@ class ClusterProposal:
                         self.cc_neighbors, cell_cap=self.cc_cell_cap,
                     )
                     pending.append((comp_key, m, pts.shape[0],
-                                    ("dense", comp, num, ntrunc, off, radius)))
+                                    ("dense", _comp_wire16(comp), comp, num,
+                                     ntrunc, off, radius)))
         # sweep 2 — read each chunk's largest union-window span (the only
         # host sync) and dispatch the propagation rounds at the smallest
         # adequate scan window W: easy chunks run at ~1/3 the DMA of the
@@ -274,13 +287,18 @@ class ClusterProposal:
                 )
                 ntrunc, off = None, 0
             pending.append((comp_key, m, n_pts,
-                            ("dense", comp, num, ntrunc, off, radius)))
+                            ("dense", _comp_wire16(comp), comp, num,
+                             ntrunc, off, radius)))
 
         _tp = _tick("finish_dispatch", _tp)
         # start every chunk's D2H before blocking on any (each blocking
-        # read through the tunneled TPU pays a full round-trip latency)
+        # read through the tunneled TPU pays a full round-trip latency);
+        # dense chunks ship the int16 wire labels — the int32 original
+        # (payload[2]) stays on device unless the count overflows int16
         for _, _, _, payload in pending:
-            for v in payload[1:]:
+            wire = payload[1:2] + payload[3:] if payload[0] == "dense" \
+                else payload[1:]
+            for v in wire:
                 try:
                     v.copy_to_host_async()
                 except AttributeError:
@@ -305,9 +323,12 @@ class ClusterProposal:
                           f"{n_halo} halo points truncated "
                           f"at HALO_CAP={self.halo_cap}")
                 continue
-            _, comp, num, ntrunc, off, radius = payload
+            _, comp16, comp, num, ntrunc, off, radius = payload
             try:
-                comp_np = np.asarray(comp)
+                if int(np.asarray(num)) <= 32766:
+                    comp_np = np.asarray(comp16)
+                else:  # int16 wire overflow — read the int32 original
+                    comp_np = np.asarray(comp)
             except Exception as e:  # pragma: no cover — TPU-only failure
                 # a new Pallas W variant failing Mosaic/the TPU runtime
                 # must not kill an unattended run: redo this chunk with
@@ -322,7 +343,10 @@ class ClusterProposal:
                     self.cc_neighbors, cell_cap=self.cc_cell_cap,
                 )
                 comp_np, ntrunc, off = np.asarray(comp), None, 0
-            components[comp_key][m] = comp_np[off: off + n_pts] + totals[comp_key]
+            # int64 BEFORE the offset add: accumulated totals overflow the
+            # int16 wire dtype
+            components[comp_key][m] = (
+                comp_np[off: off + n_pts].astype(np.int64) + totals[comp_key])
             totals[comp_key] += int(num)
             if ntrunc is not None and int(ntrunc) > 0:
                 telemetry.add("proposal_scan_windows_truncated", int(ntrunc))

@@ -504,10 +504,25 @@ class ClusterTracking:
         ex_seg.append(frame.segmentation_label[keep_anchor])
         ex_orig.append(frame.original_indices[keep_anchor])
 
+        ecomp = out["extract_comp"]
+        sparse_claims = isinstance(ecomp, tuple)
+        if sparse_claims:
+            _, cl_pos, cl_val, (_W_tab, N_tab) = ecomp
+            fi = cl_pos // N_tab
+            cl_row = cl_pos % N_tab
+            # positions ascend, so per-frame runs slice by searchsorted
+            fbounds = np.searchsorted(fi, np.arange(len(frame_rows) + 1))
         for w, rows in enumerate(frame_rows):
             if w == anchor_slot or len(rows) == 0:
                 continue
-            comp = out["extract_comp"][w, : len(rows)]
+            if sparse_claims:
+                s0, s1 = fbounds[w], fbounds[w + 1]
+                rr, vv = cl_row[s0:s1], cl_val[s0:s1]
+                in_rng = rr < len(rows)
+                comp = np.full(len(rows), -1, np.int64)
+                comp[rr[in_rng]] = vv[in_rng]
+            else:
+                comp = ecomp[w, : len(rows)]
             ok = (comp >= 0) & (comp < num_components)
             ok &= valid_final[np.clip(comp, 0, num_components - 1)]
             if not ok.any():

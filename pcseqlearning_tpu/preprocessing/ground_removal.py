@@ -758,6 +758,50 @@ _CANON_BITS = (11, 11, 9)
 _CANON_LEVELS = 5
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "n_levels"))
+def _count_voxel_sample_stats(fxyz, n, inv_cell, bits, n_levels):
+    """Distinct / singleton / doubleton cell counts per dyadic level from a
+    SAMPLE of the points (same canonical key + single sort as
+    _count_voxel_sort1). Feeds the Chao1 occupancy estimator: the exact
+    count only picks the solve-grid coarsening level, and sorting a 4-8x
+    sample costs 4-8x less than the full 36M-row sort while the bias
+    -corrected estimate D + F1(F1-1)/(2(F2+1)) lands within a few percent —
+    far inside the 4-8x occupancy gap between adjacent dyadic levels."""
+    bx, by, bz = bits
+    L = max(n_levels - 1, 0)
+    xyz = fxyz[:, 1:4]
+    n_pad = xyz.shape[0]
+    m = jnp.arange(n_pad, dtype=jnp.int32) < n
+    big = jnp.asarray(3e38, xyz.dtype)
+    mn = jnp.min(jnp.where(m[:, None], xyz, big), axis=0)
+    c = jnp.floor((xyz - mn) * inv_cell[None, :]).astype(jnp.int32)
+    hi_caps = jnp.asarray([(1 << bx) - 1, (1 << by) - 1, (1 << bz) - 1], jnp.int32)
+    c = jnp.clip(c, 0, hi_caps[None, :])
+    c = jnp.where(m[:, None], c, c[0])
+    k = jnp.zeros_like(c[:, 0])
+    for b in range(L):
+        k = (
+            k
+            | (((c[:, 0] >> b) & 1) << (3 * b + 2))
+            | (((c[:, 1] >> b) & 1) << (3 * b + 1))
+            | (((c[:, 2] >> b) & 1) << (3 * b))
+        )
+    hx, hy, hz = (max(bx - L, 0), max(by - L, 0), max(bz - L, 0))
+    hi = (((c[:, 0] >> L) << hy) | (c[:, 1] >> L)) << hz | (c[:, 2] >> L)
+    key = jax.lax.sort((hi << (3 * L)) | k)
+    outs = []
+    for s in range(n_levels):
+        ks = key >> (3 * s)
+        # run starts, with True sentinels at both ends
+        st = jnp.concatenate(
+            [jnp.ones(1, bool), ks[1:] != ks[:-1], jnp.ones(2, bool)])
+        d_cnt = jnp.sum(st[:-2].astype(jnp.int32))
+        f1 = jnp.sum((st[:-2] & st[1:-1]).astype(jnp.int32))
+        f2 = jnp.sum((st[:-2] & ~st[1:-1] & st[2:]).astype(jnp.int32))
+        outs.append(jnp.stack([d_cnt, f1, f2]))
+    return jnp.stack(outs)  # [n_levels, 3]
+
+
 @jax.jit
 def _ext_minmax(fxyz, n):
     """Device min/max of the valid xyz rows (the 35M-row host scan costs
@@ -794,6 +838,13 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
         print(f"COUNT_PROF ext={_t.time() - _tp:.2f}s", flush=True)
     base = np.asarray([0.10, 0.10, 0.03])
     caps = np.asarray([1 << b for b in _CANON_BITS], np.int64)
+    # above ~8M points the exact full sort costs ~15-20 s per sequence;
+    # the level pick only needs occupancy to the 4-8x dyadic gap, so a
+    # strided sample + bias-corrected Chao1 estimate (x1.3 safety margin)
+    # replaces it at ~1/6 the sort cost. PCSEQ_COUNT_EXACT=1 forces the
+    # exact count (parity / debugging).
+    sample_count = n > 8_000_000 and not os.environ.get("PCSEQ_COUNT_EXACT")
+    stride = max(int(np.ceil(n / 6e6)), 1) if sample_count else 1
     for s in range(S):
         cell = base * (2.0 ** s)
         dims = np.floor(ext / cell).astype(np.int64) + 1
@@ -803,11 +854,24 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
         n_lv = _CANON_LEVELS
         try:
             _tp = _t.time()
-            counts = np.asarray(_count_voxel_sort1(
-                fxyz0, jnp.asarray(n, jnp.int32), inv, _CANON_BITS, n_lv))
-            if os.environ.get("PCSEQ_PROF"):
-                print(f"COUNT_PROF sort1={_t.time() - _tp:.2f}s "
-                      f"(s={s}, n_lv={n_lv})", flush=True)
+            if sample_count:
+                samp = fxyz0[::stride]
+                stats = np.asarray(_count_voxel_sample_stats(
+                    samp, jnp.asarray(samp.shape[0], jnp.int32), inv,
+                    _CANON_BITS, n_lv)).astype(np.float64)
+                d_cnt, f1, f2 = stats[:, 0], stats[:, 1], stats[:, 2]
+                chao = d_cnt + f1 * np.maximum(f1 - 1, 0) / (2.0 * (f2 + 1.0))
+                counts = np.ceil(chao * 1.3).astype(np.int64)
+                if os.environ.get("PCSEQ_PROF"):
+                    print(f"COUNT_PROF sample={_t.time() - _tp:.2f}s "
+                          f"(s={s}, stride={stride}, D={d_cnt.astype(int)}, "
+                          f"est={counts})", flush=True)
+            else:
+                counts = np.asarray(_count_voxel_sort1(
+                    fxyz0, jnp.asarray(n, jnp.int32), inv, _CANON_BITS, n_lv))
+                if os.environ.get("PCSEQ_PROF"):
+                    print(f"COUNT_PROF sort1={_t.time() - _tp:.2f}s "
+                          f"(s={s}, n_lv={n_lv})", flush=True)
         except Exception:  # pragma: no cover - device-only failure
             import traceback
 

@@ -489,6 +489,30 @@ _GLOBAL_KEYS = ("transforms", "comp_velos", "comp_centers", "comp_center_diffs",
                 "reg_errors", "edge_ratios", "extract_comp", "reach_min", "reach_max")
 
 
+@jax.jit
+def _count_claims(extract_comp):
+    return jnp.sum((extract_comp >= 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_walk_claims(extract_comp, cap):
+    """Compact the dense [W, N] claim table to (flat positions, int16
+    component ids): claims are sparse (foreground points near walked
+    components), so shipping only the claiming slots cuts the walk's
+    dominant D2H through the ~20 MB/s tunnel. Positions are ascending
+    (cumsum order), so the host slices per-frame runs with searchsorted.
+    On cap overflow the caller falls back to the dense table."""
+    flat = extract_comp.reshape(-1)
+    ok = flat >= 0
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    idx = jnp.where(ok, jnp.minimum(rank, cap - 1), cap)
+    pos = jnp.full(cap + 1, -1, jnp.int32).at[idx].set(
+        jnp.arange(flat.shape[0], dtype=jnp.int32))[:cap]
+    val = jnp.zeros(cap + 1, jnp.int16).at[idx].set(
+        flat.astype(jnp.int16))[:cap]
+    return pos, val
+
+
 def track_window_batched_dispatch(
     window_xyz, window_valid, window_stationary, comp_xyz, comp_pmask,
     comp_valid0, comp_diameter, comp_deg,
@@ -590,16 +614,29 @@ def track_window_batched_dispatch(
     )
     g["moving"] = moving_final
     g["valid_final"] = valid_final
-    # lean wire format: only what the caller consumes crosses the tunnel,
-    # and the [W, N] claim table ships as int16 (component ids are bounded
-    # by the per-frame component cap, far below 2^15)
+    # lean wire format: only what the caller consumes crosses the tunnel.
+    # The [W, N] claim table is compacted HERE, at dispatch time with a
+    # FIXED cap (claims cover only foreground points near walked
+    # components — a cnt-dependent cap would both sync mid-pipeline and
+    # mint a compile variant per bucket): pos/val/cnt ship async with the
+    # rest of the walk outputs, and the drain falls back to the dense
+    # int16 table only on cap overflow.
     assert C < 32767, "int16 extract_comp wire overflow"
-    g["extract_comp"] = g["extract_comp"].astype(jnp.int16)
+    ec = g.pop("extract_comp")
+    g["_extract_comp_dev"] = ec
+    g["claim_cnt"] = _count_claims(ec)
+    cap = 2 * N
+    if cap < W * ec.shape[1]:
+        pos, val = _compact_walk_claims(ec, cap)
+        g["_claims_pos"], g["_claims_val"] = pos, val
+    g["_claims_cap"] = cap
     for k in ("comp_velos", "comp_centers", "comp_center_diffs"):
         g.pop(k)
     # ONE latency for the whole drain: start every D2H copy, then collect
     # (per-array np.asarray would pay the tunnel round-trip 12x)
-    for v in g.values():
+    for k, v in g.items():
+        if k in ("_extract_comp_dev", "_claims_cap"):
+            continue
         try:
             v.copy_to_host_async()
         except AttributeError:
@@ -608,11 +645,40 @@ def track_window_batched_dispatch(
 
 
 def track_window_batched_drain(g):
-    """Block on the walk outputs started by track_window_batched_dispatch."""
+    """Block on the walk outputs started by track_window_batched_dispatch.
+
+    ``extract_comp`` comes back either dense ([W, N] int16 ndarray) or as
+    ``("sparse", pos, val, (W, N))`` with ascending flat positions."""
     _t0 = __import__("time").time()
+    ec = g.pop("_extract_comp_dev")
+    cap = g.pop("_claims_cap")
+    pos = g.pop("_claims_pos", None)
+    val = g.pop("_claims_val", None)
     out = {k: np.asarray(v) for k, v in g.items()}
+    W, N = ec.shape
+    cnt = int(out.pop("claim_cnt"))
+    import os as _o
+
+    if _o.environ.get("PCSEQ_PROF"):
+        PROF["claims_max"] = max(PROF.get("claims_max", 0), cnt)
+    if pos is not None and cnt <= cap:
+        out["extract_comp"] = (
+            "sparse", np.asarray(pos)[:cnt], np.asarray(val)[:cnt], (W, N))
+    else:  # cap overflow (or tiny window): dense fallback
+        out["extract_comp"] = np.asarray(ec.astype(jnp.int16))
     _tick("walk_drain", _t0)
     return out
+
+
+def densify_claims(ec):
+    """Sparse claim wire -> dense [W, N] int16 table (tests / host callers
+    that want random access)."""
+    if not isinstance(ec, tuple):
+        return ec
+    _, pos, val, (W, N) = ec
+    dense = np.full(W * N, -1, np.int16)
+    dense[pos] = val
+    return dense.reshape(W, N)
 
 
 def track_window_batched(*args, **kwargs):

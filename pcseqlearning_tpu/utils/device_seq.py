@@ -25,12 +25,26 @@ host-orchestrated JAX pipeline must reproduce explicitly.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .padding import bucket_size
+
+
+@jax.jit
+def _dequant_flat(q, n, mid, step):
+    """int16 wire -> f32 resident table: col 0 is the exact frame id, cols
+    1:4 are fixed-point offsets around ``mid``; pad rows get the 1e8
+    sentinel every consumer expects."""
+    iota = jnp.arange(q.shape[0], dtype=jnp.int32)
+    valid = iota < n
+    f = q[:, 0:1].astype(jnp.float32)
+    xyz = q[:, 1:4].astype(jnp.float32) * step + mid[None, :]
+    flat = jnp.concatenate([f, xyz], axis=1)
+    return jnp.where(valid[:, None], flat, 1e8)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=())
@@ -132,9 +146,37 @@ class DeviceSeq:
             return
         self._init_index(frame)
         n_pad = bucket_size(self.n)
-        flat = np.full((n_pad, 4), 1e8, np.float32)
-        flat[: self.n] = np.asarray(fxyz_np, np.float32)
-        self.flat = jnp.asarray(flat)
+        arr = np.asarray(fxyz_np, np.float32)
+        # int16 fixed-point wire for big sequences: the tunneled H2D runs
+        # at ~20-250 MB/s depending on tenant load, and the 35M-point f32
+        # table is 571 MB — the dominant per-sequence cost at the slow end.
+        # 5 mm quantization sits 16x under the pipeline's own finest grid
+        # (8 cm ingest subsample / 0.1 m ground + ICP voxels), and the
+        # resident f32 table is reconstructed on device in one pass.
+        # PCSEQ_WIRE_QUANT=0 forces the exact f32 wire.
+        quant = (
+            self.n > 2_000_000
+            and os.environ.get("PCSEQ_WIRE_QUANT", "1") != "0"
+            and arr.shape[0] > 0
+            and float(arr[:, 0].max()) < 32000.0
+        )
+        if quant:
+            lo = arr[:, 1:4].min(0)
+            hi = arr[:, 1:4].max(0)
+            mid = (lo + hi) * 0.5
+            step = np.float32(max(0.005, float((hi - lo).max()) / 65000.0))
+            q = np.zeros((n_pad, 4), np.int16)
+            q[: self.n, 0] = arr[:, 0].astype(np.int16)
+            q[: self.n, 1:4] = np.clip(
+                np.round((arr[:, 1:4] - mid[None, :]) / step),
+                -32768, 32767).astype(np.int16)
+            self.flat = _dequant_flat(
+                jnp.asarray(q), jnp.asarray(self.n, jnp.int32),
+                jnp.asarray(mid, jnp.float32), jnp.asarray(step, jnp.float32))
+        else:
+            flat = np.full((n_pad, 4), 1e8, np.float32)
+            flat[: self.n] = arr
+            self.flat = jnp.asarray(flat)
         self._init_device()
 
     def _init_index(self, frame):

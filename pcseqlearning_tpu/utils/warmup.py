@@ -1,0 +1,44 @@
+"""Device-channel warmup for tunneled TPU backends.
+
+On the axon (TPU-over-network) backend the FIRST device->host transfer of a
+process stalls the whole transfer channel for minutes (measured 80-230 s for
+a 1 KB readback; every H2D/D2H queued behind it waits). The stall is a
+per-process one-off, so the fix is to trigger it as early as possible on a
+background thread, overlapped with host-only work (scene/dataset loading,
+config parsing) that needs no device traffic.
+
+Call warm_d2h_async() right after process start; join_warm() (optional)
+blocks until the channel is live.
+"""
+
+from __future__ import annotations
+
+import threading
+
+_warm_thread = None
+
+
+def warm_d2h_async():
+    """Start the one-off first-D2H channel warm on a daemon thread."""
+    global _warm_thread
+    if _warm_thread is not None:
+        return _warm_thread
+
+    def _go():
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+
+            np.asarray(jnp.zeros(8, jnp.float32) + 0)
+        except Exception:
+            pass  # no device / CPU-only run: nothing to warm
+
+    _warm_thread = threading.Thread(
+        target=_go, daemon=True, name="pcseq-d2h-warm")
+    _warm_thread.start()
+    return _warm_thread
+
+
+def join_warm(timeout=None):
+    if _warm_thread is not None:
+        _warm_thread.join(timeout)

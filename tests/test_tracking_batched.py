@@ -101,7 +101,8 @@ def test_track_window_batched_two_clusters():
     assert np.abs(Tb[:3, 3]).max() < 0.1, Tb[:3, 3]
     assert out["moving"][0] and not out["moving"][1]
     # member-point extraction claims next-frame points to the right component
-    ec = out["extract_comp"]
+    from pcseqlearning_tpu.preprocessing.tracking_batched import densify_claims
+    ec = densify_claims(out["extract_comp"])
     assert (ec[W - 1, :n_a] == 0).mean() > 0.85
     assert (ec[W - 1, n_a:n_a + n_b] == 1).mean() > 0.85
     # reach bookkeeping: both clusters tracked to the window edges

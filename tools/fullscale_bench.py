@@ -34,6 +34,12 @@ def main():
     bench._enable_compilation_cache()
     import jax
 
+    # absorb the tunneled backend's first-D2H channel stall (minutes)
+    # behind the host-only 35.7M-point scene build
+    from pcseqlearning_tpu.utils.warmup import warm_d2h_async
+
+    warm_d2h_async()
+
     from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
     from pcseqlearning_tpu.preprocessing.cluster_tracking import ClusterTracking
     from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover

@@ -86,6 +86,11 @@ def eval_ckpt(model, state, loader, dataset, logger, n_cap):
 
 def main():
     args, cfg = parse_config()
+    # absorb the tunneled backend's first-D2H channel stall behind the
+    # host-only config/dataset setup
+    from pcseqlearning_tpu.utils.warmup import warm_d2h_async
+
+    warm_d2h_async()
     output_dir = Path(cfg.ROOT_DIR) / "output" / cfg.TAG / args.extra_tag / "eval"
     output_dir.mkdir(parents=True, exist_ok=True)
     logger = common_utils.create_logger(

@@ -60,6 +60,11 @@ def parse_config():
 
 def main():
     args, cfg = parse_config()
+    # absorb the tunneled backend's first-D2H channel stall behind the
+    # host-only config/dataset setup
+    from pcseqlearning_tpu.utils.warmup import warm_d2h_async
+
+    warm_d2h_async()
     if args.fix_random_seed:
         common_utils.set_random_seed(666)
 
