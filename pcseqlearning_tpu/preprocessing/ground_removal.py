@@ -566,6 +566,7 @@ def ground_solve_fused(
         point_height=vheight[inverse],
         point_horizon=(vox_bxyz[:, 3] > vmin)[inverse],
         point_error=(vheight - vmin)[inverse],
+        num_voxels=vox["num_voxels"],
     )
 
 
@@ -814,7 +815,7 @@ def _ext_minmax(fxyz, n):
     return mn, mx
 
 
-def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
+def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6, force_exact=False):
     """Pick the finest dyadic coarsening of the (0.10, 0.10, 0.03) solve
     grid whose occupied-cell count fits ``solve_cap``; returns (s, n_occ).
 
@@ -843,7 +844,8 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
     # strided sample + bias-corrected Chao1 estimate (x1.3 safety margin)
     # replaces it at ~1/6 the sort cost. PCSEQ_COUNT_EXACT=1 forces the
     # exact count (parity / debugging).
-    sample_count = n > 8_000_000 and not os.environ.get("PCSEQ_COUNT_EXACT")
+    sample_count = (n > 8_000_000 and not force_exact
+                    and not os.environ.get("PCSEQ_COUNT_EXACT"))
     stride = max(int(np.ceil(n / 6e6)), 1) if sample_count else 1
     for s in range(S):
         cell = base * (2.0 ** s)
@@ -861,7 +863,16 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6):
                     _CANON_BITS, n_lv)).astype(np.float64)
                 d_cnt, f1, f2 = stats[:, 0], stats[:, 1], stats[:, 2]
                 chao = d_cnt + f1 * np.maximum(f1 - 1, 0) / (2.0 * (f2 + 1.0))
-                counts = np.ceil(chao * 1.3).astype(np.int64)
+                # Chao1 is a lower-bound estimator with a blowup mode at
+                # f2~0: clamp the margin-inflated estimate by d_cnt*stride
+                # (can't see fewer than 1/stride of the cells) and never go
+                # below the sampled distinct count (a hard lower bound on
+                # truth). The solver double-checks its traced num_voxels
+                # against the cap and redoes with the exact count on
+                # overflow (_solve).
+                counts = np.ceil(
+                    np.clip(chao * 1.3, d_cnt, d_cnt * stride)
+                ).astype(np.int64)
                 if os.environ.get("PCSEQ_PROF"):
                     print(f"COUNT_PROF sample={_t.time() - _tp:.2f}s "
                           f"(s={s}, stride={stride}, D={d_cnt.astype(int)}, "
@@ -1041,40 +1052,61 @@ class GroundPlaneRemover:
         # bucket to multiples of 8 to bound recompilation
         dims = (int(np.ceil(dims[0] / 8) * 8), int(np.ceil(dims[1] / 8) * 8))
 
-        if warmup is not None:
-            vox = grid_utils.grid_sample_mean(fxyz0, list(cell), num_voxels_cap=vox_cap)
-            vox_bxyz, vox_valid, inverse = vox["bxyz"], vox["valid"], vox["inverse"]
-            out = EDict(
-                pillar_height=jnp.asarray(warmup["pillar_height"]).reshape(-1),
-                pillar_min_z=jnp.asarray(warmup["pillar_min_z"]).reshape(-1),
-            )
-            points, _ = format_pillars(
-                vox_bxyz, vox_valid, pillar_size, jnp.asarray(pc_range_min, dtype=vox_bxyz.dtype), dims
-            )
-            P = dims[0] * dims[1]
-            pidx = points.pillar_idx.clip(0, P - 1)
-            vheight = vox_bxyz[:, 3] - out.pillar_height[pidx]
-            vmin = out.pillar_min_z[pidx]
-            out.point_height = vheight[inverse]
-            out.point_horizon = (vox_bxyz[:, 3] > vmin)[inverse]
-            out.point_error = (vheight - vmin)[inverse]
-        else:
-            out = EDict(ground_solve_fused(
-                fxyz0,
-                jnp.asarray(pc_range_min, dtype=jnp.float32),
-                vox_cap,
-                dims,
-                pillar_size=pillar_size,
-                use_ransac=bool(cfg.get("RANSAC", False)),
-                joint_opt=bool(cfg.get("JointOpt", False)),
-                lr=float(cfg.get("LR", 0.01)),
-                decay_steps=tuple(int(d) for d in cfg.get("DECAY_STEPS", [1600])),
-                rigid_weight=float(cfg.get("RIGID_WEIGHT", 0.5)),
-                max_iters=int(cfg.get("MAX_NUM_ITERS", 10000)),
-                sigma2=float(cfg.get("SIGMA2", 0.0025)),
-                tls_k=int(cfg.get("K", 8)),
-                cell=cell,
-            ))
+        # the Chao1-sampled occupancy estimate (>8M points) can undershoot:
+        # voxels with inverse >= cap silently drop from segment reductions,
+        # corrupting heights — so when the cap came from an ESTIMATE, read
+        # the traced num_voxels back and redo with the exact count on
+        # overflow (exact counts guarantee cap >= occupancy by construction)
+        cap_estimated = (n > 8_000_000
+                         and not os.environ.get("PCSEQ_COUNT_EXACT"))
+        for attempt in range(2):
+            if warmup is not None:
+                vox = grid_utils.grid_sample_mean(fxyz0, list(cell), num_voxels_cap=vox_cap)
+                vox_bxyz, vox_valid, inverse = vox["bxyz"], vox["valid"], vox["inverse"]
+                out = EDict(
+                    pillar_height=jnp.asarray(warmup["pillar_height"]).reshape(-1),
+                    pillar_min_z=jnp.asarray(warmup["pillar_min_z"]).reshape(-1),
+                )
+                points, _ = format_pillars(
+                    vox_bxyz, vox_valid, pillar_size, jnp.asarray(pc_range_min, dtype=vox_bxyz.dtype), dims
+                )
+                P = dims[0] * dims[1]
+                pidx = points.pillar_idx.clip(0, P - 1)
+                vheight = vox_bxyz[:, 3] - out.pillar_height[pidx]
+                vmin = out.pillar_min_z[pidx]
+                out.point_height = vheight[inverse]
+                out.point_horizon = (vox_bxyz[:, 3] > vmin)[inverse]
+                out.point_error = (vheight - vmin)[inverse]
+                out.num_voxels = vox["num_voxels"]
+            else:
+                out = EDict(ground_solve_fused(
+                    fxyz0,
+                    jnp.asarray(pc_range_min, dtype=jnp.float32),
+                    vox_cap,
+                    dims,
+                    pillar_size=pillar_size,
+                    use_ransac=bool(cfg.get("RANSAC", False)),
+                    joint_opt=bool(cfg.get("JointOpt", False)),
+                    lr=float(cfg.get("LR", 0.01)),
+                    decay_steps=tuple(int(d) for d in cfg.get("DECAY_STEPS", [1600])),
+                    rigid_weight=float(cfg.get("RIGID_WEIGHT", 0.5)),
+                    max_iters=int(cfg.get("MAX_NUM_ITERS", 10000)),
+                    sigma2=float(cfg.get("SIGMA2", 0.0025)),
+                    tls_k=int(cfg.get("K", 8)),
+                    cell=cell,
+                ))
+            nv_traced = out.pop("num_voxels")
+            if not cap_estimated or attempt == 1:
+                break
+            nv = int(nv_traced)
+            if nv <= vox_cap:
+                break
+            print(f"Ground Removal: sampled occupancy estimate overflowed "
+                  f"({nv} voxels > cap {vox_cap}) — redoing with exact count")
+            s, n_occ = _count_voxel_levels(
+                fxyz0, n, pts_np, solve_cap, force_exact=True)
+            cell = tuple(c * (2.0 ** s) for c in (0.10, 0.10, 0.03))
+            vox_cap = min(bucket_size(n_occ, base=4096), pts_np.shape[0])
         self._tick("solve_dispatch", _tp)
         return out.point_height, out.point_horizon, out.point_error, out.pillar_height, out.pillar_min_z
 

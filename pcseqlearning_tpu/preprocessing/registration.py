@@ -43,9 +43,11 @@ _BRUTE_NN_MAX_ENTRIES = 1 << 28
 def _nn1_brute(ref_xyz, ref_valid, query_xyz, query_valid, radius):
     """Nearest ref within radius per query via MXU distance matrix.
 
-    The |q|^2+|r|^2-2qr expansion PRESELECTS the argmin; the returned
-    distance is recomputed exactly (f32 cancellation only perturbs
-    near-ties, which are immaterial for NN correspondences).
+    The |q|^2+|r|^2-2qr expansion PRESELECTS a top-4 candidate set (its
+    f32 cancellation error is O(eps * coord^2) ~ 1e-4 m^2 at scene scale,
+    enough to flip genuine near-ties); the winner is then re-ranked by
+    EXACT subtraction-based f32 distances, so the returned NN matches an
+    f64 oracle except for ties below ~1e-6.
     """
     # center both clouds (shrinks magnitudes so the expansion stays
     # accurate) and keep full f32 on the K=3 matmul — bf16 inputs would
@@ -61,9 +63,15 @@ def _nn1_brute(ref_xyz, ref_valid, query_xyz, query_valid, radius):
     d2 = qn[:, None] + rn[None, :] - 2.0 * cross
     big = jnp.asarray(jnp.inf, d2.dtype)
     d2 = jnp.where(ref_valid[None, :], d2, big)
-    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    diff = ref_xyz[idx] - query_xyz
-    d2_exact = jnp.sum(diff * diff, axis=-1)
+    k = min(4, ref_xyz.shape[0])
+    _, cand = jax.lax.top_k(-d2, k)  # [M, k] candidate ref indices
+    diff = ref_xyz[cand] - query_xyz[:, None, :]  # [M, k, 3]
+    d2_cand = jnp.sum(diff * diff, axis=-1)
+    d2_cand = jnp.where(ref_valid[cand], d2_cand, big)
+    best = jnp.argmin(d2_cand, axis=1)
+    m_iota = jnp.arange(query_xyz.shape[0])
+    idx = cand[m_iota, best].astype(jnp.int32)
+    d2_exact = d2_cand[m_iota, best]
     ok = query_valid & jnp.any(ref_valid) & (d2_exact <= radius * radius)
     return idx, d2_exact, ok
 

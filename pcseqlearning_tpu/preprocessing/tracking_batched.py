@@ -623,12 +623,14 @@ def track_window_batched_dispatch(
     # int16 table only on cap overflow.
     assert C < 32767, "int16 extract_comp wire overflow"
     ec = g.pop("extract_comp")
-    g["_extract_comp_dev"] = ec
+    # pre-cast the dense int16 fallback copy NOW (device-side, async, no
+    # transfer) so a rare cap overflow at drain time pays only the D2H,
+    # not a cold cast dispatch on top of it
+    g["_extract_comp_dev"] = ec.astype(jnp.int16)
     g["claim_cnt"] = _count_claims(ec)
     cap = 2 * N
-    if cap < W * ec.shape[1]:
-        pos, val = _compact_walk_claims(ec, cap)
-        g["_claims_pos"], g["_claims_val"] = pos, val
+    pos, val = _compact_walk_claims(ec, cap)
+    g["_claims_pos"], g["_claims_val"] = pos, val
     g["_claims_cap"] = cap
     for k in ("comp_velos", "comp_centers", "comp_center_diffs"):
         g.pop(k)
@@ -664,8 +666,8 @@ def track_window_batched_drain(g):
     if pos is not None and cnt <= cap:
         out["extract_comp"] = (
             "sparse", np.asarray(pos)[:cnt], np.asarray(val)[:cnt], (W, N))
-    else:  # cap overflow (or tiny window): dense fallback
-        out["extract_comp"] = np.asarray(ec.astype(jnp.int16))
+    else:  # cap overflow: dense fallback (int16 copy pre-cast at dispatch)
+        out["extract_comp"] = np.asarray(ec)
     _tick("walk_drain", _t0)
     return out
 

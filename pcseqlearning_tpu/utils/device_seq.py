@@ -154,11 +154,19 @@ class DeviceSeq:
         # (8 cm ingest subsample / 0.1 m ground + ICP voxels), and the
         # resident f32 table is reconstructed on device in one pass.
         # PCSEQ_WIRE_QUANT=0 forces the exact f32 wire.
+        # quant guard: col 0 must be exact under the int16 cast — frame ids
+        # drive _init_index row ranges and all per-frame window slicing, so
+        # require nonnegative integral values (checked on a stride sample;
+        # any fractional/negative id falls back to the exact f32 wire)
+        col0 = arr[:: max(1, self.n // 65536), 0] if self.n else arr[:0, 0]
         quant = (
             self.n > 2_000_000
             and os.environ.get("PCSEQ_WIRE_QUANT", "1") != "0"
             and arr.shape[0] > 0
             and float(arr[:, 0].max()) < 32000.0
+            and col0.size > 0
+            and float(col0.min()) >= 0.0
+            and bool(np.all(col0 == np.floor(col0)))
         )
         if quant:
             lo = arr[:, 1:4].min(0)
@@ -166,7 +174,7 @@ class DeviceSeq:
             mid = (lo + hi) * 0.5
             step = np.float32(max(0.005, float((hi - lo).max()) / 65000.0))
             q = np.zeros((n_pad, 4), np.int16)
-            q[: self.n, 0] = arr[:, 0].astype(np.int16)
+            q[: self.n, 0] = np.round(arr[:, 0]).astype(np.int16)
             q[: self.n, 1:4] = np.clip(
                 np.round((arr[:, 1:4] - mid[None, :]) / step),
                 -32768, 32767).astype(np.int16)

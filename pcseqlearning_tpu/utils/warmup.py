@@ -9,6 +9,12 @@ config parsing) that needs no device traffic.
 
 Call warm_d2h_async() right after process start; join_warm() (optional)
 blocks until the channel is live.
+
+ORDERING CONSTRAINT: the warm thread initializes the JAX backend. Any
+``jax.distributed.initialize`` (dist_utils.init_distributed) MUST run
+BEFORE warm_d2h_async() — JAX rejects distributed init after backend
+creation (or silently yields local-only device visibility). tools/train.py
+performs distributed init first for this reason.
 """
 
 from __future__ import annotations

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--frames", type=int, default=210)
     ap.add_argument("--points", type=int, default=170_000)
+    ap.add_argument("--moving_fraction", type=float, default=0.5,
+                    help="1.0 = the r3 all-moving scene (attribution A/B)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -47,7 +49,8 @@ def main():
     from pcseqlearning_tpu.utils.edict import EDict
 
     seq, gt = bench.make_scene(num_frames=args.frames,
-                               points_per_frame=args.points)
+                               points_per_frame=args.points,
+                               moving_fraction=args.moving_fraction)
     seq_dict = {
         "point_fxyz": seq,
         "point_sweep": seq[:, 0].astype(np.int64),
@@ -123,7 +126,9 @@ def main():
         "scene": (f"synthetic all_sequence envelope: {args.frames} sweeps x "
                   f"{args.points // 1000}k pts = "
                   f"{args.frames * args.points / 1e6:.1f}M points "
-                  "(reference NUM_SWEEPS=210, MAX_NUM_POINTS=4e7)"),
+                  f"(reference NUM_SWEEPS=210, MAX_NUM_POINTS=4e7), "
+                  f"moving_fraction={args.moving_fraction}"),
+        "moving_fraction": args.moving_fraction,
         "warmup_s": warmup_s,
         "steady_pass_s": round(steady_s, 1),
         "steady_ground_s": splits["ground_s"],

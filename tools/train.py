@@ -60,6 +60,12 @@ def parse_config():
 
 def main():
     args, cfg = parse_config()
+    # multi-host init MUST precede any JAX backend use (the warm thread
+    # below initializes the backend; jax.distributed.initialize after that
+    # point is rejected / sees only local devices)
+    from pcseqlearning_tpu.utils import dist_utils
+
+    dist_utils.init_distributed()
     # absorb the tunneled backend's first-D2H channel stall behind the
     # host-only config/dataset setup
     from pcseqlearning_tpu.utils.warmup import warm_d2h_async
