@@ -196,10 +196,12 @@ def bench_detector():
     train_step = make_train_step(model, tx, mesh, loss_key="center_loss")
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    # analytic FLOPs: XLA's HLO cost analysis on the lowered (unoptimized)
-    # program — forward + backward + optimizer. NOT compile().cost_analysis():
-    # that builds a second AOT executable, and the tunnel's remote compile
-    # helper gets OOM-killed on a program this size.
+    # FLOPs for the MFU numerator: try XLA's HLO cost analysis, fall back
+    # to the jaxpr-walking analytic counter (utils/flops.py) which needs no
+    # backend support at all — detector_mfu can never be null.
+    # NOT compile().cost_analysis(): that builds a second AOT executable,
+    # and the tunnel's remote compile helper gets OOM-killed on a program
+    # this size.
     flops = None
     try:
         lowered = train_step.lower(state, dev_batch)
@@ -209,6 +211,12 @@ def bench_detector():
         flops = float(cost.get("flops", 0.0)) or None
     except Exception as e:  # pragma: no cover — cost analysis is best-effort
         print(f"# detector: cost_analysis unavailable ({type(e).__name__})", flush=True)
+    if not flops:
+        from pcseqlearning_tpu.utils.flops import analytic_flops
+
+        flops = float(analytic_flops(
+            lambda s, b: train_step(s, b), state, dev_batch))
+        print(f"# detector: analytic flops/step = {flops:.3e}", flush=True)
 
     t0 = time.time()
     state, losses = train_step(state, dev_batch)

@@ -53,16 +53,10 @@ class PointPillarScatter(nn.Module):
         # row ids, then gather rows per BEV cell — a [P, C] float scatter
         # serializes on TPU; pillar coords are unique (dynamic voxelization
         # dedupes), so set-then-gather is exact
-        p = feats.shape[0]
         L = b * H * W
         lin = (coords[:, 0] * H + coords[:, 2]) * W + coords[:, 3]
-        lin = jnp.where(valid, lin, L)
-        table = jnp.full(L + 1, p, jnp.int32).at[lin].set(
-            jnp.arange(p, dtype=jnp.int32), mode="drop")
-        feats_z = jnp.concatenate(
-            [jnp.where(valid[:, None], feats, 0.0),
-             jnp.zeros((1, c), feats.dtype)], axis=0)
-        batch_dict["spatial_features"] = feats_z[table[:L]].reshape(b, H, W, c)
+        batch_dict["spatial_features"] = sc.grid_densify(
+            L, feats, valid, lin).reshape(b, H, W, c)
         batch_dict["spatial_features_stride"] = 1
         return batch_dict
 

@@ -110,6 +110,91 @@ def _lookup_coords(st: SparseTensor, q, q_valid):
     return hash_graph.coord_lookup(table, q, q_valid)
 
 
+# ---------------------------------------------------------------------------
+# gather-MM core with a gather-only custom VJP
+#
+# Autodiff of feats[idx] is a scatter-add — which XLA serializes on TPU
+# (measured ~0.6 s for one [30k, 128] scatter; a train step runs hundreds
+# of gather-grads, and this dominated the 15.9 s/step CenterPoint r4
+# number). The transpose of a rulebook gather is ANOTHER rulebook gather
+# through the reverse rulebook (for a submanifold conv the reverse of
+# kernel offset k is the mirrored offset K-1-k; for strided/inverse convs
+# it is the opposite-direction lookup), so the whole backward is
+# gather+MXU too:
+#   dfeats[i] = sum_k dY[idx_rev_k[i]] @ W_k^T
+#   dW_k      = gather_k(feats)^T @ dY
+# ---------------------------------------------------------------------------
+
+
+def _scan_gather_mm(feats, idx_all, weights, transpose_w=False):
+    v = feats.shape[0]
+
+    def body(carry, inp):
+        idx, w = inp
+        ok = idx >= 0
+        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
+        w = w.T if transpose_w else w
+        return carry + jnp.dot(g, w, preferred_element_type=jnp.float32), None
+
+    cout = weights.shape[1] if transpose_w else weights.shape[2]
+    # the `feats.ravel()[0] * 0` term ties the carry's varying-manual-axes
+    # type to feats under shard_map (a plain zeros carry is 'unvarying' and
+    # scan rejects the carry-in/carry-out mismatch)
+    out0 = jnp.zeros((idx_all.shape[1], cout), jnp.float32) + \
+        feats.ravel()[0].astype(jnp.float32) * 0
+    out, _ = jax.lax.scan(body, out0, (idx_all, weights))
+    return out.astype(feats.dtype)
+
+
+@jax.custom_vjp
+def _rulebook_mm(feats, idx_fwd, idx_rev, weights):
+    """sum_k gather(feats, idx_fwd[k]) @ weights[k], with a gather-only
+    backward through ``idx_rev`` (the reverse rulebook: idx_rev[k][i] = j
+    iff idx_fwd[k][j] = i)."""
+    return _scan_gather_mm(feats, idx_fwd, weights)
+
+
+def _rulebook_mm_fwd(feats, idx_fwd, idx_rev, weights):
+    return _scan_gather_mm(feats, idx_fwd, weights), (feats, idx_fwd, idx_rev, weights)
+
+
+def _rulebook_mm_bwd(res, dy):
+    feats, idx_fwd, idx_rev, weights = res
+    v = feats.shape[0]
+    dfeats = _scan_gather_mm(dy, idx_rev, weights, transpose_w=True)
+
+    def body_w(_, idx):
+        ok = idx >= 0
+        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
+        return None, jnp.dot(g.T, dy, preferred_element_type=jnp.float32)
+
+    _, dw = jax.lax.scan(body_w, None, idx_fwd)
+    return dfeats.astype(feats.dtype), None, None, dw.astype(weights.dtype)
+
+
+_rulebook_mm.defvjp(_rulebook_mm_fwd, _rulebook_mm_bwd)
+
+
+def _tie_vma(weights, feats):
+    """Tie the weights' varying-manual-axes type to feats BEFORE the
+    custom-VJP core: under shard_map, replicated params entering a
+    custom_vjp would otherwise skip the broadcast-transpose psum on their
+    cotangent (the vma checker then rejects the un-replicated grads). The
+    add is outside the custom function, so its transpose restores the psum;
+    outside shard_map XLA folds the +0."""
+    return weights + feats.ravel()[0].astype(weights.dtype) * 0
+
+
+def _mirror_rulebook(idx_all, kernel_size):
+    """Reverse rulebook of a SUBMANIFOLD conv: offset k's transpose is the
+    mirrored offset K-1-k (valid for odd kernel sizes, where
+    offs[K-1-k] - center == -(offs[k] - center))."""
+    ks = (kernel_size,) * 3 if isinstance(kernel_size, int) else tuple(kernel_size)
+    if any(s % 2 == 0 for s in ks):
+        return None
+    return idx_all[::-1]
+
+
 def build_subm_rulebook(st: SparseTensor, kernel_size=3):
     """[K, V] rulebook for a submanifold conv on ``st``'s coordinate set.
 
@@ -142,18 +227,12 @@ def subm_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, precision=N
     lets convs on the same coordinate set share one lookup.
     """
     feats = _mask_features(st.features, st.valid)
-    v = feats.shape[0]
     idx_all = rulebook if rulebook is not None else build_subm_rulebook(st, kernel_size)
-
-    def body(carry, inp):
-        idx, w = inp
-        ok = idx >= 0
-        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
-        carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
-        return carry, None
-
-    out0 = jnp.zeros((v, weights.shape[-1]), feats.dtype) + feats.ravel()[0] * 0
-    out, _ = jax.lax.scan(body, out0, (idx_all, weights))
+    idx_rev = _mirror_rulebook(idx_all, kernel_size)
+    if idx_rev is not None:
+        out = _rulebook_mm(feats, idx_all, idx_rev, _tie_vma(weights, feats))
+    else:  # even kernel: no mirror — plain autodiff (scatter) path
+        out = _scan_gather_mm(feats, idx_all, weights)
     if bias is not None:
         out = out + bias[None, :]
     out = _mask_features(out, st.valid)
@@ -259,15 +338,20 @@ def sparse_conv3d(st: SparseTensor, weights, bias=None, kernel_size=3, stride=2,
     q_valid = jnp.broadcast_to(out_valid[None, :], (k, out_cap)).reshape(-1)
     idx_all = _lookup_coords(st, q, q_valid).reshape(k, out_cap)
 
-    def body(carry, inp):
-        idx, w = inp
-        ok = idx >= 0
-        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
-        carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
-        return carry, None
+    # reverse rulebook (gather-only backward): input voxel i feeds output
+    # idx_rev[k][i] at offset k, where out = (in + pad - off_k) / stride
+    out_st = SparseTensor(
+        jnp.zeros((out_cap, 1), feats.dtype), out_coords, out_valid,
+        out_shape, st.batch_size)
+    rzyx = st.coords[None, :, 1:4] + pad_a[None, None, :] - offs[:, None, :]
+    rdiv = jnp.all(rzyx % stride_a[None, None, :] == 0, axis=-1)  # [K, V]
+    rop = rzyx // stride_a[None, None, :]
+    rb = jnp.broadcast_to(st.coords[None, :, 0:1], (k, v, 1))
+    rq = jnp.concatenate([rb, rop], axis=-1).reshape(k * v, 4)
+    rq_valid = (jnp.broadcast_to(st.valid[None, :], (k, v)) & rdiv).reshape(-1)
+    idx_rev = _lookup_coords(out_st, rq, rq_valid).reshape(k, v)
 
-    out0 = jnp.zeros((out_cap, weights.shape[-1]), feats.dtype) + feats.ravel()[0] * 0
-    out, _ = jax.lax.scan(body, out0, (idx_all, weights))
+    out = _rulebook_mm(feats, idx_all, idx_rev, _tie_vma(weights, feats))
     if bias is not None:
         out = out + bias[None, :]
     out = _mask_features(out, out_valid)
@@ -307,15 +391,15 @@ def sparse_inverse_conv3d(st: SparseTensor, target: SparseTensor, weights, bias=
     idx_all = _lookup_coords(st, q, q_valid).reshape(k, t_cap)
     idx_all = jnp.where(div_ok, idx_all, -1)
 
-    def body(carry, inp):
-        idx, w = inp
-        ok = idx >= 0
-        g = jnp.where(ok[:, None], feats[jnp.clip(idx, 0, v - 1)], 0.0)
-        carry = carry + jnp.dot(g, w, preferred_element_type=jnp.float32, precision=precision)
-        return carry, None
+    # reverse rulebook: coarse voxel c feeds fine voxel at
+    # c*stride - pad + off_k (gather-only backward)
+    rzyx = st.coords[None, :, 1:4] * stride_a[None, None, :] - pad_a[None, None, :] + offs[:, None, :]
+    rb = jnp.broadcast_to(st.coords[None, :, 0:1], (k, v, 1))
+    rq = jnp.concatenate([rb, rzyx], axis=-1).reshape(k * v, 4)
+    rq_valid = jnp.broadcast_to(st.valid[None, :], (k, v)).reshape(-1)
+    idx_rev = _lookup_coords(target, rq, rq_valid).reshape(k, v)
 
-    out0 = jnp.zeros((t_cap, weights.shape[-1]), feats.dtype) + feats.ravel()[0] * 0
-    out, _ = jax.lax.scan(body, out0, (idx_all, weights))
+    out = _rulebook_mm(feats, idx_all, idx_rev, _tie_vma(weights, feats))
     if bias is not None:
         out = out + bias[None, :]
     out = _mask_features(out, target.valid)
@@ -361,25 +445,50 @@ def sparse_maxpool3d(st: SparseTensor, kernel_size=3, stride=2, padding=1, out_c
     return SparseTensor(out, out_coords, out_valid, out_shape, st.batch_size)
 
 
-def to_dense(st: SparseTensor):
-    """Densify the sparse table into [B, D, H, W, C]
-    (SparseConvTensor.dense(), used by HeightCompression).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def grid_densify(L, feats, valid, lin):
+    """[V, C] rows -> [L, C] dense grid; each VALID row owns exactly one
+    cell (voxel coords are unique by construction — duplicate cells would
+    silently keep the last scatter).
 
     Gather formulation: a [V, C] float scatter lowers to a slow serialized
     scatter on TPU (measured 0.6 s at V=30k, C=128 — it dominated the whole
     CenterPoint forward); instead scatter only V int32 row ids into the
-    dense cell->row table and GATHER feature rows per dense cell (row -1 ->
-    zeros via a sentinel row), which runs at HBM bandwidth."""
+    dense cell->row table and GATHER feature rows per dense cell (row v ->
+    zeros via a sentinel row), which runs at HBM bandwidth. The custom VJP
+    keeps the BACKWARD a gather too (dfeats[i] = dY[lin[i]]); autodiff
+    would emit an [L, C] -> [V, C] scatter-add."""
+    v = feats.shape[0]
+    l = jnp.where(valid, lin, L)
+    table = jnp.full(L + 1, v, jnp.int32).at[l].set(
+        jnp.arange(v, dtype=jnp.int32), mode="drop")
+    fz = jnp.concatenate(
+        [jnp.where(valid[:, None], feats, 0.0),
+         jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0)
+    return fz[table[:L]]
+
+
+def _grid_densify_fwd(L, feats, valid, lin):
+    return grid_densify(L, feats, valid, lin), (valid, lin)
+
+
+def _grid_densify_bwd(L, res, dy):
+    valid, lin = res
+    g = dy[jnp.clip(lin, 0, L - 1)]
+    return jnp.where(valid[:, None], g, 0.0), None, None
+
+
+grid_densify.defvjp(_grid_densify_fwd, _grid_densify_bwd)
+
+
+def to_dense(st: SparseTensor):
+    """Densify the sparse table into [B, D, H, W, C]
+    (SparseConvTensor.dense(), used by HeightCompression) via
+    ``grid_densify`` — gather-only in both directions."""
     D, H, W = st.spatial_shape
     B = st.batch_size
-    v = st.features.shape[0]
     b, z, y, x = st.coords[:, 0], st.coords[:, 1], st.coords[:, 2], st.coords[:, 3]
     lin = ((b * D + z) * H + y) * W + x
     L = B * D * H * W
-    lin = jnp.where(st.valid, lin, L)
-    table = jnp.full(L + 1, v, jnp.int32).at[lin].set(
-        jnp.arange(v, dtype=jnp.int32), mode="drop")
-    feats = jnp.concatenate(
-        [_mask_features(st.features, st.valid),
-         jnp.zeros((1, st.features.shape[1]), st.features.dtype)], axis=0)
-    return feats[table[:L]].reshape(B, D, H, W, st.features.shape[1])
+    dense = grid_densify(L, st.features, st.valid, lin)
+    return dense.reshape(B, D, H, W, st.features.shape[1])

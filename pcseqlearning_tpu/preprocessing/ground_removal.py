@@ -829,12 +829,13 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6, force_exact=False):
     failure."""
     import time as _t
     _tp = _t.time()
-    try:
-        mn, mx = (np.asarray(v) for v in _ext_minmax(
-            fxyz0, jnp.asarray(n, jnp.int32)))
-        ext = mx - mn
-    except Exception:  # pragma: no cover - device-only failure
-        ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
+    # extent on HOST: pts_np is already in memory and the reduction is
+    # ~0.3 s at 35M points — the device version was the pipeline's FIRST
+    # dispatch+readback and ate the tunnel's first-use cost (measured
+    # 980 s in the r5 fullscale warmup). ext only sizes the level choice,
+    # so the (<=5 mm) quantization difference vs the device table is
+    # immaterial.
+    ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
     if os.environ.get("PCSEQ_PROF"):
         print(f"COUNT_PROF ext={_t.time() - _tp:.2f}s", flush=True)
     base = np.asarray([0.10, 0.10, 0.03])
