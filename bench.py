@@ -357,9 +357,12 @@ def main():
     static_miou = float(np.asarray(sb.best_iou)[~mov].mean()) if (~mov).any() else None
 
     # hash-grid cell-cap audit at the caps the pipeline uses
+    from pcseqlearning_tpu.ops import hash_graph as _hg
+
+    cc_cap = min(_hg.DEFAULT_CELL_CAP, int(os.environ.get("PCSEQ_CELL_CAP", 24)))
     cell_audit = _cell_cap_audit(seq, {
-        "cell_cap_drops_proposal_cc": (1.25, 24),
-        "cell_cap_drops_tracking_nn": (0.5, 48),
+        "cell_cap_drops_proposal_cc": (1.25, cc_cap),
+        "cell_cap_drops_tracking_nn": (0.5, _hg.DEFAULT_CELL_CAP),
     })
 
     det = {}
@@ -373,6 +376,19 @@ def main():
 
     frames_per_hour = num_frames / elapsed_best * 3600.0
     baseline = 10_000.0  # BASELINE.json north star: frames/hr/chip
+    # measured truncation quality deltas (tools/cellcap_ab.py artifact):
+    # carry the cell-cap and wire-quant mIoU costs in the bench record
+    ab = {}
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "CELLCAP_AB.json")
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                rec = json.load(f)
+            ab = {k: rec[k] for k in
+                  ("cellcap_miou_delta", "wire_quant_miou_delta") if k in rec}
+        except Exception:
+            pass
     print(json.dumps({
         "metric": "extraction_frames_per_hour_per_chip",
         "value": round(frames_per_hour, 1),
@@ -385,6 +401,7 @@ def main():
         "num_static_gt": int((~mov).sum()),
         **{k: int(v) for k, v in sorted(counters.items())},
         **cell_audit,
+        **ab,
         **det,
     }))
 

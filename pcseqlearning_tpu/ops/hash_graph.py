@@ -35,10 +35,17 @@ All shapes are static; padded (invalid) rows are supported via masks.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Per-bucket candidate-scan budget. The reference scans whole cells
+# (torch_hash_kernel.cu:224-420); we clip at DEFAULT_CELL_CAP candidates per
+# xy-column probe. PCSEQ_CELL_CAP raises it process-wide for the truncation
+# quality A/B (VERDICT r4 weak #4) without touching configs.
+DEFAULT_CELL_CAP = int(os.environ.get("PCSEQ_CELL_CAP", 48))
 
 _H0 = jnp.uint32(2654435761)
 _H1 = jnp.uint32(73856093)

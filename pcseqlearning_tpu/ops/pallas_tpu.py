@@ -53,22 +53,62 @@ _BIG = 1e30  # sentinel for masked rows (Mosaic can't reshape i1 vectors,
 
 
 def _kernel(at_ref, bt_ref, am_ref, bm_ref, fd_ref, fi_ref, bd_ref, bi_ref):
-    at = at_ref[0]  # [4, P] (xyz rows + zero pad row)
-    bt = bt_ref[0]  # [4, Q]
-    amf = am_ref[0, 0]  # [P] f32 0/1
-    bmf = bm_ref[0, 0]  # [Q] f32 0/1
+    # CB components per grid step: the per-step fixed cost (DMA setup +
+    # Mosaic step overhead) dominated the CB=1 kernel — measured ~15 ms per
+    # production-shape call regardless of C, i.e. ~4 us/step pure overhead.
+    # Batching 8 components per step amortizes it 8x.
+    at = at_ref[...]  # [CB, 4, P] (xyz rows + zero pad row)
+    bt = bt_ref[...]  # [CB, 4, Q]
+    # Mosaic can't lower mixed int/None fancy indexing on 3D values (it
+    # becomes an unsupported gather) — use explicit slice/squeeze/expand
+    def _row(v, i):  # [CB, 4, K] -> [CB, K]
+        return jax.lax.squeeze(jax.lax.slice_in_dim(v, i, i + 1, axis=1), (1,))
+
+    def _e1(v):  # [CB, K] -> [CB, 1, K]
+        return jnp.expand_dims(v, 1)
+
+    def _e2(v):  # [CB, K] -> [CB, K, 1]
+        return jnp.expand_dims(v, 2)
+
+    amf = jax.lax.squeeze(am_ref[...], (1,))  # [CB, P] f32 0/1
+    bmf = jax.lax.squeeze(bm_ref[...], (1,))  # [CB, Q] f32 0/1
     # exact f32 distances via direct differences (no |a|^2+|b|^2-2ab
-    # cancellation, no MXU precision trap) — [P, Q] x 3 VPU ops in VMEM
-    dx = at[0][:, None] - bt[0][None, :]
-    dy = at[1][:, None] - bt[1][None, :]
-    dz = at[2][:, None] - bt[2][None, :]
+    # cancellation, no MXU precision trap) — [CB, P, Q] VPU ops in VMEM
+    dx = _e2(_row(at, 0)) - _e1(_row(bt, 0))
+    dy = _e2(_row(at, 1)) - _e1(_row(bt, 1))
+    dz = _e2(_row(at, 2)) - _e1(_row(bt, 2))
     d2 = dx * dx + dy * dy + dz * dz
-    d2f = d2 + (1.0 - bmf)[None, :] * _BIG
-    fd_ref[0, 0] = jnp.min(d2f, axis=1)
-    fi_ref[0, 0] = jnp.argmin(d2f, axis=1).astype(jnp.int32)
-    d2b = d2 + (1.0 - amf)[:, None] * _BIG
-    bd_ref[0, 0] = jnp.min(d2b, axis=0)
-    bi_ref[0, 0] = jnp.argmin(d2b, axis=0).astype(jnp.int32)
+    cb, p, q = d2.shape
+    iq = jax.lax.broadcasted_iota(jnp.int32, (cb, p, q), 2)
+    ip = jax.lax.broadcasted_iota(jnp.int32, (cb, p, q), 1)
+    d2f = d2 + _e1(1.0 - bmf) * _BIG
+    mf = jnp.min(d2f, axis=2)
+    # first-match argmin (ties -> lowest index, matching jnp.argmin)
+    fi = jnp.min(jnp.where(d2f <= _e2(mf), iq, q), axis=2).astype(jnp.int32) % q
+    d2b = d2 + _e2(1.0 - amf) * _BIG
+    mb = jnp.min(d2b, axis=1)
+    bi = jnp.min(jnp.where(d2b <= _e1(mb), ip, p), axis=1).astype(jnp.int32) % p
+    fd_ref[...] = _e1(mf)
+    fi_ref[...] = _e1(fi)
+    bd_ref[...] = _e1(mb)
+    bi_ref[...] = _e1(bi)
+
+
+# VMEM budget for the [CB, P, Q] distance block (plus its masked variants)
+_PAIR_VMEM_BUDGET = 4 * 1024 * 1024
+
+
+def _pair_cb(C, P, Q):
+    """Components per grid step: largest power-of-2 divisor of C whose
+    [CB, P, Q] f32 block fits the VMEM budget."""
+    cb = 1
+    while (
+        cb < 16
+        and C % (cb * 2) == 0
+        and (cb * 2) * P * Q * 4 <= _PAIR_VMEM_BUDGET
+    ):
+        cb *= 2
+    return cb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -78,23 +118,24 @@ def _pallas_pair_min(at, bt, a_maskf, b_maskf, interpret=False):
 
     C, _, P = at.shape
     Q = bt.shape[2]
+    CB = _pair_cb(C, P, Q)
     # [C, 1, P]-shaped 1D quantities: the TPU lowering needs the last two
     # block dims divisible by (8, 128) OR equal to the array dims — a
     # middle singleton satisfies the sublane rule exactly
     fd, fi, bd, bi = pl.pallas_call(
         _kernel,
-        grid=(C,),
+        grid=(C // CB,),
         in_specs=[
-            pl.BlockSpec((1, 4, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 4, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 4, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1, P), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1, Q), lambda c: (c, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C, 1, P), jnp.float32),
@@ -116,6 +157,16 @@ def _use_pallas():
         return False
 
 
+def _prefer_xla_pair_min():
+    """Chained-dependency microbenches on the v5e (r5) put the XLA
+    composition at ~3.0-3.7 ms vs ~5.6-6.4 ms for the VPU kernel at the
+    production walk shapes (C=2048, P=256, Q=512): the MXU cross-term +
+    fused elementwise reductions beat 18 VPU passes over [P, Q] once HBM
+    has the bandwidth for the [C, P, Q] temporaries. PCSEQ_PAIRMIN=pallas
+    restores the kernel (e.g. for HBM-constrained shapes)."""
+    return os.environ.get("PCSEQ_PAIRMIN", "xla") != "pallas"
+
+
 def pair_min(a, b, a_mask, b_mask):
     """Fused batched pairwise-distance bidirectional min.
 
@@ -132,7 +183,7 @@ def pair_min(a, b, a_mask, b_mask):
     tiles_ok = (
         P % 128 == 0 and Q % 128 == 0 and P * Q * 4 <= 4 * 1024 * 1024
     )
-    if not (_use_pallas() and tiles_ok):
+    if _prefer_xla_pair_min() or not (_use_pallas() and tiles_ok):
         return _xla_pair_min(a, b, a_mask, b_mask)
     at = jnp.concatenate(
         [jnp.swapaxes(a, 1, 2), jnp.zeros((C, 1, P), a.dtype)], axis=1

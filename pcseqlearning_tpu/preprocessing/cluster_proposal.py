@@ -122,14 +122,16 @@ class ClusterProposal:
         self.radii = [float(r) for r in radii]
         self.max_num_neighbors = int(graph_cfg.get("MAX_NUM_NEIGHBORS", 32))
         self.chunk_frames = int(self.model_cfg.get("CHUNK_FRAMES", 10))
-        self.cell_cap = int(self.model_cfg.get("CELL_CAP", 48))
+        self.cell_cap = int(self.model_cfg.get("CELL_CAP", hash_graph.DEFAULT_CELL_CAP))
         # CC only consumes the graph's PARTITION, which is insensitive to
         # K beyond ~16 and to deep cell scans (each point still links to its
         # run prefix, so runs stay internally connected): a (16, 24) scan
         # reproduces the (32, 48) partition to 99.98% on Waymo-scale scenes
         # at ~2x less top-k + gather work per chunk
         self.cc_neighbors = int(self.model_cfg.get("CC_NEIGHBORS", min(self.max_num_neighbors, 16)))
-        self.cc_cell_cap = int(self.model_cfg.get("CC_CELL_CAP", min(self.cell_cap, 24)))
+        self.cc_cell_cap = int(self.model_cfg.get(
+            "CC_CELL_CAP",
+            min(self.cell_cap, int(os.environ.get("PCSEQ_CELL_CAP", 24)))))
         # multi-chip: x-shard each chunk's point table over NUM_SHARDS
         # devices with halo exchange (SURVEY §5 long-context scaling) —
         # the halo-exchange CC in parallel/point_shard.py

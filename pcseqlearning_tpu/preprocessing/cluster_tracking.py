@@ -280,7 +280,8 @@ def _claim_points_kernel(query_xyz, query_valid, tile_xyz, tile_mask, radius):
 
 
 @functools.partial(jax.jit, static_argnames=("cell_cap",))
-def _nn_match(ref_xyz, ref_valid, query_xyz, query_valid, radius, cell_cap=48):
+def _nn_match(ref_xyz, ref_valid, query_xyz, query_valid, radius,
+              cell_cap=hash_graph.DEFAULT_CELL_CAP):
     """Nearest ref point within radius for each query (k=1 NN_GRAPH)."""
     nr = ref_xyz.shape[0]
     nq = query_xyz.shape[0]
@@ -1406,7 +1407,7 @@ class ClusterTracking:
         import time as _prep_time
         _tprep0 = _prep_time.time()
         fxyz = np.asarray(seq_dict["point_fxyz"])
-        frame = np.asarray(seq_dict["point_sweep"]).reshape(-1).astype(int)
+        frame = np.asarray(seq_dict["point_sweep"]).reshape(-1).astype(int, copy=False)
         seq_points = EDict(
             xyz=fxyz[:, 1:4].astype(np.float32),
             frame=frame,
@@ -1424,14 +1425,17 @@ class ClusterTracking:
             else:
                 f_height = np.asarray(seq_dict["full_point_height"]).reshape(-1)
                 keep = f_height > 0.0
+            # single-gather row selection (f_fxyz[keep][:, 1:4] copies the
+            # full 4-col table THEN slices — 2x the bytes at 35M points)
+            rows = np.nonzero(keep)[0]
             all_points = EDict(
-                xyz=f_fxyz[keep][:, 1:4].astype(np.float32),
-                frame=np.asarray(seq_dict["full_point_sweep"]).reshape(-1).astype(int)[keep],
+                xyz=f_fxyz[rows[:, None], [1, 2, 3]].astype(np.float32, copy=False),
+                frame=np.asarray(seq_dict["full_point_sweep"]).reshape(-1)[rows].astype(int, copy=False),
                 segmentation_label=np.asarray(
                     seq_dict.get(
                         "full_segmentation_label", np.zeros(len(f_fxyz), np.int64)
                     )
-                ).reshape(-1)[keep],
+                ).reshape(-1)[rows],
             )
         else:
             all_points = seq_points

@@ -829,13 +829,20 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6, force_exact=False):
     failure."""
     import time as _t
     _tp = _t.time()
-    # extent on HOST: pts_np is already in memory and the reduction is
-    # ~0.3 s at 35M points — the device version was the pipeline's FIRST
-    # dispatch+readback and ate the tunnel's first-use cost (measured
-    # 980 s in the r5 fullscale warmup). ext only sizes the level choice,
-    # so the (<=5 mm) quantization difference vs the device table is
-    # immaterial.
-    ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
+    # extent: device reduction over the already-resident table when the
+    # D2H channel is known-live (warmup.warm_done — the naive device
+    # version as the pipeline's FIRST dispatch+readback ate the tunnel's
+    # first-use stall, measured 980 s in the r5 fullscale warmup); host
+    # fallback costs ~1.8-3.4 s of single-core scan at 35M points. ext
+    # only sizes the level choice, so the (<=5 mm) wire quantization
+    # difference vs the host array is immaterial.
+    from ..utils import warmup as _warmup
+
+    if _warmup.warm_done and n > 4_000_000:
+        mn, mx = _ext_minmax(fxyz0, jnp.asarray(n, jnp.int32))
+        ext = np.asarray(mx) - np.asarray(mn)
+    else:
+        ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
     if os.environ.get("PCSEQ_PROF"):
         print(f"COUNT_PROF ext={_t.time() - _tp:.2f}s", flush=True)
     base = np.asarray([0.10, 0.10, 0.03])

@@ -107,7 +107,7 @@ def register_to_next_frame(
     max_iter=80,
     stopping_delta=5e-2,
     trunc_dist=0.3,
-    cell_cap=48,
+    cell_cap=hash_graph.DEFAULT_CELL_CAP,
 ):
     """Register each component of ``moving`` onto ``ref``.
 

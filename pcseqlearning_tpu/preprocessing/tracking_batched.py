@@ -274,12 +274,8 @@ def _icp_level(m_xyz, m_mask, r_xyz, r_mask, T_prior, radius, angle_regularizer,
     return T, jnp.where(empty, 0.0, l1), jnp.where(empty, 0.0, ratio)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("interval", "levels", "max_icp_iter", "min_move_frame", "num_candidates"),
-)
-def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
-                 min_move_frame, num_candidates):
+def _step_core(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
+               min_move_frame, num_candidates):
     """One walk step: candidate selection + ICP pyramid + velocity
     smoothing + stopping rules + member-point extraction, all per-component
     batched. Mirrors the reference step (cluster_tracking.py:553-727)."""
@@ -338,6 +334,11 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     # ---- ICP pyramid (coarse-to-fine; T applied to full-res tile per level)
     l1_err = jnp.zeros((C,), jnp.float32)
     edge_ratio = jnp.zeros((C,), jnp.float32)
+    # after the coarse level aligns the tile, the fine levels only need the
+    # candidates NEAR the component — trimming [C, Q] to the Q2 nearest
+    # (by point-to-moved-tile distance) halves every fine-level pair_min
+    # (the walk's dominant device cost) for one extra full-Q pass
+    fine_q = int(_os.environ.get("PCSEQ_FINE_CANDIDATES", 256))
     for li, (vx, vy, vz, radius, sdelta) in enumerate(levels):
         vs = jnp.asarray([vx, vy, vz], jnp.float32)
         # cross-component exclusivity (the reference's backward edges go to
@@ -368,6 +369,16 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
             + T_l[:, :3, 3][:, None, :]
         cur_pts = jnp.where(active, moved, cur_pts)
         T_cum = jnp.where(active, jnp.matmul(T_l, T_cum, precision=_HI), T_cum)
+        if li == 0 and fine_q < cand_xyz.shape[1]:
+            inf = jnp.asarray(jnp.inf, jnp.float32)
+            _, _, bd0, _ = _pm(cur_pts, cand_xyz, comp_pmask, cand_usable)
+            score0 = -jnp.where(cand_usable, bd0, inf)
+            neg0, keep_i = jax.lax.top_k(score0, fine_q)
+            near = jnp.isfinite(neg0)
+            cand_xyz = jnp.take_along_axis(cand_xyz, keep_i[..., None], axis=1)
+            cand_idx = jnp.take_along_axis(cand_idx, keep_i, axis=1)
+            cand_valid = jnp.take_along_axis(cand_valid, keep_i, axis=1) & near
+            cand_usable = jnp.take_along_axis(cand_usable, keep_i, axis=1) & near
 
     # ---- component centers + velocity (reference 629-642)
     centers = _masked_center(cur_pts, comp_pmask)
@@ -485,6 +496,58 @@ def batched_step(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     )
 
 
+batched_step = functools.partial(
+    jax.jit,
+    static_argnames=("interval", "levels", "max_icp_iter", "min_move_frame",
+                     "num_candidates"),
+)(_step_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interval", "levels", "max_icp_iter", "min_move_frame",
+                     "num_candidates"),
+)
+def walk_direction(consts, carry, track_dir, frame_nonempty, *, interval,
+                   levels, max_icp_iter, min_move_frame, num_candidates):
+    """One direction of the walk as a SINGLE device program.
+
+    The per-step dispatch (16 separate jit programs per tracked frame) paid
+    a measured ~15-20 ms of launch overhead each through the tunneled
+    runtime, and — because no host read happens mid-walk — steps after
+    every component stopped still executed as masked no-ops. A
+    lax.while_loop over the step index keeps one program per direction AND
+    exits the moment all components are stopped or the walk falls off the
+    populated window (the reference's `break`, cluster_tracking.py:553).
+    """
+    anchor_pos = interval
+    W = consts[0].shape[0]
+
+    def cond(st):
+        carry, s = st
+        stopped = carry[2]
+        pos = anchor_pos + track_dir * s
+        in_win = (pos >= 0) & (pos < W)
+        pos_c = jnp.clip(pos, 0, W - 1)
+        return (
+            (s <= interval) & in_win & frame_nonempty[pos_c]
+            & jnp.any(~stopped)
+        )
+
+    def body(st):
+        carry, s = st
+        carry = _step_core(
+            consts, carry, track_dir, s,
+            interval=interval, levels=levels, max_icp_iter=max_icp_iter,
+            min_move_frame=min_move_frame, num_candidates=num_candidates,
+        )
+        return (carry, s + 1)
+
+    carry, _ = jax.lax.while_loop(
+        cond, body, (carry, jnp.asarray(1, jnp.int32)))
+    return carry
+
+
 _GLOBAL_KEYS = ("transforms", "comp_velos", "comp_centers", "comp_center_diffs",
                 "reg_errors", "edge_ratios", "extract_comp", "reach_min", "reach_max")
 
@@ -583,23 +646,18 @@ def track_window_batched_dispatch(
             g["transforms"], g["comp_velos"], g["comp_centers"], g["comp_center_diffs"],
             g["reg_errors"], g["edge_ratios"], g["extract_comp"], g["reach_min"], g["reach_max"],
         )
-        # dispatch every step of the walk without ANY mid-walk host read:
-        # through the tunneled TPU a single blocking D2H costs ~30-100 ms of
-        # round-trip latency, so the old per-step all-stopped check (16
-        # blocking reads per tracked frame) cost more than the compute it
-        # could skip — a stopped component's step is a masked no-op inside
-        # the compiled program anyway. jax dispatch is async, so the whole
-        # direction enqueues back-to-back and the device pipeline stays full.
+        # one device program per direction (walk_direction): no mid-walk
+        # host read, one launch overhead instead of `interval`, and the
+        # while_loop exits the moment every component is stopped or the
+        # walk falls off the populated window — steps that the old
+        # per-step dispatch executed as masked no-ops now cost nothing.
         _t0 = __import__("time").time()
-        for s in range(1, interval + 1):
-            pos = anchor_pos + track_dir * s
-            if pos < 0 or pos >= W or not frame_nonempty[pos]:
-                break
-            carry = batched_step(
-                consts, carry, jnp.asarray(track_dir), jnp.asarray(s),
-                interval=interval, levels=levels, max_icp_iter=max_icp_iter,
-                min_move_frame=min_move_frame, num_candidates=num_candidates,
-            )
+        carry = walk_direction(
+            consts, carry, jnp.asarray(track_dir),
+            jnp.asarray(np.asarray(frame_nonempty, bool)),
+            interval=interval, levels=levels, max_icp_iter=max_icp_iter,
+            min_move_frame=min_move_frame, num_candidates=num_candidates,
+        )
         _tick("walk_dispatch", _t0)
         # AND across directions (host walk: moving_total &= moving per
         # direction, cluster_tracking.py:929) — each direction's min-move

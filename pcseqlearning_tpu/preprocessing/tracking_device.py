@@ -228,7 +228,7 @@ def _step_impl(consts, carry, track_dir, s, *, C, anchor_pos, levels, max_icp_it
     nxt_f = jnp.concatenate([jnp.zeros((N_, 1), jnp.float32), nxt_xyz], axis=1)
     grid = hash_graph.build_hash_grid(cur_f, nn_radius, anchor_valid & active)
     nn_idx, _, nn_ok = hash_graph.radius_neighbors(
-        grid, nxt_f, nn_radius, 1, query_valid=nxt_valid & active, cell_cap=48
+        grid, nxt_f, nn_radius, 1, query_valid=nxt_valid & active, cell_cap=hash_graph.DEFAULT_CELL_CAP
     )
     src = nn_idx[:, 0]
     ok = nn_ok[:, 0]

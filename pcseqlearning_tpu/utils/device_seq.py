@@ -159,9 +159,22 @@ class DeviceSeq:
         # require nonnegative integral values (checked on a stride sample;
         # any fractional/negative id falls back to the exact f32 wire)
         col0 = arr[:: max(1, self.n // 65536), 0] if self.n else arr[:0, 0]
+        # the int16 wire trades ~0.13 s/M-row of single-core host
+        # quantization for half the wire bytes — a win only when the
+        # tunnel is slow. Below ~100 MB/s measured H2D the quant pays for
+        # itself; at the fast end (~1 GB/s observed) it COSTS ~5 s per
+        # 35M-point sequence. warmup.h2d_mbps holds the probe result; an
+        # unprobed link keeps the quant (safe for the slow case).
+        from . import warmup as _warmup
+
+        bw = _warmup.h2d_mbps
+        link_slow = bw is None or bw < float(
+            os.environ.get("PCSEQ_WIRE_QUANT_MBPS", 100.0))
+        env_q = os.environ.get("PCSEQ_WIRE_QUANT", "")
         quant = (
             self.n > 2_000_000
-            and os.environ.get("PCSEQ_WIRE_QUANT", "1") != "0"
+            and (link_slow or env_q == "1")  # "1" forces (quality A/Bs)
+            and env_q != "0"
             and arr.shape[0] > 0
             and float(arr[:, 0].max()) < 32000.0
             and col0.size > 0

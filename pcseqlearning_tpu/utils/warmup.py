@@ -20,8 +20,17 @@ performs distributed init first for this reason.
 from __future__ import annotations
 
 import threading
+import time
 
 _warm_thread = None
+
+# measured H2D bandwidth in MB/s (None until the warm thread probes it).
+# The tunnel's rate swings ~20-1000 MB/s with tenant load; wire-format
+# decisions (utils/device_seq int16 quantization) consult this so a fast
+# link skips the ~5 s of single-core host quantization that only pays for
+# itself below ~150 MB/s.
+h2d_mbps = None
+warm_done = False
 
 
 def warm_d2h_async():
@@ -31,13 +40,24 @@ def warm_d2h_async():
         return _warm_thread
 
     def _go():
+        global h2d_mbps, warm_done
         try:
+            import jax
             import jax.numpy as jnp
             import numpy as np
 
             np.asarray(jnp.zeros(8, jnp.float32) + 0)
+            # H2D bandwidth probe: 16 MB is big enough to amortize the
+            # per-transfer latency (~65 ms) yet costs <1 s at the slow end
+            buf = np.ones(4 * 1024 * 1024, np.float32)
+            t0 = time.time()
+            jax.block_until_ready(jnp.asarray(buf))
+            dt = max(time.time() - t0, 1e-3)
+            h2d_mbps = buf.nbytes / 1e6 / dt
         except Exception:
             pass  # no device / CPU-only run: nothing to warm
+        finally:
+            warm_done = True
 
     _warm_thread = threading.Thread(
         target=_go, daemon=True, name="pcseq-d2h-warm")

@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def run(num_frames=12, points_per_frame=20_000, seed=0, track_interval=4):
+def run(num_frames=12, points_per_frame=20_000, seed=0, track_interval=4,
+        cell_cap=None):
     from bench import make_scene
     from pcseqlearning_tpu.preprocessing.ground_removal import GroundPlaneRemover
     from pcseqlearning_tpu.preprocessing.cluster_proposal import ClusterProposal
@@ -57,11 +58,18 @@ def run(num_frames=12, points_per_frame=20_000, seed=0, track_interval=4):
     stats["ground_coverage"] = float((removed & is_ground).sum() / max(is_ground.sum(), 1))
     stats["foreground_precision"] = float((~removed & ~is_ground).sum() / max((~removed).sum(), 1))
 
-    proposal = ClusterProposal(EDict(
+    prop_cfg = EDict(
         GRAPH=EDict(TYPE="RadiusGraph", RADIUS=[1.25], MAX_NUM_NEIGHBORS=32,
                     SORT_BY_DIST=True, RELATIVE_KEY="fxyz"),
         COMPONENT_KEYS=["component_rad1x25"],
-    ))
+    )
+    if cell_cap is not None:
+        # truncation-bound A/B (VERDICT r4 #3): the per-bucket scan cap of
+        # the radius-CC hash grid — the reference scans whole cells
+        # (torch_hash_kernel.cu:224-420)
+        prop_cfg.CELL_CAP = int(cell_cap)
+        prop_cfg.CC_CELL_CAP = int(cell_cap)
+    proposal = ClusterProposal(prop_cfg)
     d = proposal(d)
     stats["proposal_miou"] = float(np.asarray(d["gt_box_best_iou"]).mean())
     stats["trace_miou"] = float(np.asarray(d["gt_trace_best_iou"]).mean())
