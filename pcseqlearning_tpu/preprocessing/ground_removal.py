@@ -829,20 +829,15 @@ def _count_voxel_levels(fxyz0, n, pts_np, solve_cap, S=6, force_exact=False):
     failure."""
     import time as _t
     _tp = _t.time()
-    # extent: device reduction over the already-resident table when the
-    # D2H channel is known-live (warmup.warm_done — the naive device
-    # version as the pipeline's FIRST dispatch+readback ate the tunnel's
-    # first-use stall, measured 980 s in the r5 fullscale warmup); host
-    # fallback costs ~1.8-3.4 s of single-core scan at 35M points. ext
-    # only sizes the level choice, so the (<=5 mm) wire quantization
-    # difference vs the host array is immaterial.
-    from ..utils import warmup as _warmup
-
-    if _warmup.warm_done and n > 4_000_000:
-        mn, mx = _ext_minmax(fxyz0, jnp.asarray(n, jnp.int32))
-        ext = np.asarray(mx) - np.asarray(mn)
-    else:
-        ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
+    # extent on HOST: pts_np is already in memory and the scan is a
+    # predictable ~2-3 s at 35M points. The device reduction was tried
+    # twice and lost twice: as the pipeline's FIRST dispatch+readback it
+    # ate the tunnel's first-use stall (980 s, r5 warmup), and even with
+    # the channel warm its tiny D2H can absorb a multi-second tunnel
+    # stall (12.3 s observed in an r5 steady pass) — per-transfer LATENCY,
+    # not bandwidth, is the tunnel's failure mode. ext only sizes the
+    # level choice, so host/device (<=5 mm wire quant) drift is immaterial.
+    ext = pts_np[:, 1:4].max(0) - pts_np[:, 1:4].min(0)
     if os.environ.get("PCSEQ_PROF"):
         print(f"COUNT_PROF ext={_t.time() - _tp:.2f}s", flush=True)
     base = np.asarray([0.10, 0.10, 0.03])
