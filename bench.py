@@ -96,7 +96,15 @@ def make_scene(num_frames=20, points_per_frame=90_000, seed=0,
 
 def _cell_cap_audit(seq, radii_caps):
     """Points dropped by the hash-grid per-bucket cap at each (radius, cap)
-    the pipeline uses — nonzero means queries can miss true neighbors."""
+    the XLA-composition neighbor search uses.
+
+    Scope: on the production TPU path these caps are NOT on the hot path —
+    proposal CC runs the Pallas sorted-window scan (whole windows, like the
+    reference's whole-cell scan) and the tracking walk runs brute
+    component-tile distances; the capped hash grid serves the XLA FALLBACK
+    paths (CPU tests, host walk, Mosaic-failure fallbacks). CELLCAP_AB.json
+    (tools/cellcap_ab.py) measured cap 48 vs 256 end-to-end: identical mIoU
+    to 4 decimals on the bench scene."""
     import jax.numpy as jnp
 
     from pcseqlearning_tpu.ops import hash_graph
