@@ -489,9 +489,12 @@ def _cc_rounds(state, n, W, Bq=256, max_rounds=24, interpret=False):
             nb=nb, Bq=Bq, W=W_k, interpret=interpret,
         )  # [nb, Bq, 8] f32
         l_new = jnp.minimum(l, out[:, :, 0].reshape(m_pad).astype(jnp.int32))
-        # pointer jumping (labels are slot positions); three hops compress
-        # chains up to 8 deep per kernel round — each hop is a ~m_pad
-        # gather, orders of magnitude cheaper than a scan round
+        # pointer jumping (labels are slot positions); five hops compress
+        # chains up to 32 deep per kernel round — each hop is a ~m_pad
+        # gather, orders of magnitude cheaper than a scan round, and every
+        # kernel round saved is a full [nb, Bq, W] window pass
+        l_new = l_new[l_new]
+        l_new = l_new[l_new]
         l_new = l_new[l_new]
         l_new = l_new[l_new]
         l_new = l_new[l_new]

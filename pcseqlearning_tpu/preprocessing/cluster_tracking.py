@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import functools
 import os
+
+_ANGLE_VELO_EXEMPT = float(os.environ.get("PCSEQ_ANGLE_VELO_EXEMPT", 0.05))
 import pickle
 
 import jax
@@ -902,7 +904,8 @@ class ClusterTracking:
                     ang = np.degrees(np.arccos(np.clip((comp_velo * prev).sum(-1) / norm, -1, 1)))
                     stopped = stopped | (
                         (ang > self.angle_threshold)
-                        & (np.linalg.norm(comp_velos[:, next_frame_id, :2], axis=-1) > 0.01)
+                        & (np.linalg.norm(comp_velos[:, next_frame_id, :2], axis=-1)
+                           > _ANGLE_VELO_EXEMPT)
                     )
 
                 last_velo = comp_velo

@@ -48,6 +48,18 @@ import os as _os
 
 _ABLATE = _os.environ.get("PCSEQ_WALK_ABLATE", "")
 
+# angle-gate velocity exemption (reference cluster_tracking.py:691: the
+# 45-degree velocity-angle stop only applies when |velo_xy| > 0.01 m/frame
+# — i.e. objects whose velocity is indistinguishable from noise are never
+# angle-stopped). The reference's f64 full-resolution 80-iter ICP has a
+# ~mm noise floor, so 0.01 exempts its statics; this port's f32 tile ICP
+# sits at cm scale, which un-exempts statics and angle-stops them on
+# noise (STATIC_DIAG r5: ablating the gate lifted static mIoU
+# 0.52->0.71; raising the exemption to 0.05 recovered +0.021 static with
+# moving untouched). Default 0.05 = this implementation's measured noise
+# floor; PCSEQ_ANGLE_VELO_EXEMPT=0.01 restores the reference constant.
+_ANGLE_VELO_EXEMPT = float(_os.environ.get("PCSEQ_ANGLE_VELO_EXEMPT", 0.05))
+
 # wall-time breakdown of the walk (cumulative; reset externally)
 PROF = {}
 
@@ -428,7 +440,7 @@ def _step_core(consts, carry, track_dir, s, *, interval, levels, max_icp_iter,
     ang = jnp.degrees(jnp.arccos(jnp.clip(jnp.sum(velo * prev_v, -1) / nrm, -1, 1)))
     new_stopped = new_stopped | (
         has_last_velo & (ang > angle_threshold_deg)
-        & (jnp.linalg.norm(velo[:, :2], axis=-1) > 0.01)
+        & (jnp.linalg.norm(velo[:, :2], axis=-1) > _ANGLE_VELO_EXEMPT)
     )
     new_stopped = jnp.where(active, new_stopped, stopped)
     new_moving = jnp.where(active, new_moving, moving)

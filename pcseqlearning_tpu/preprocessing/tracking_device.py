@@ -26,10 +26,15 @@ NN extraction (710-721), anchor-velocity seeding (702-703), per-direction
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# see tracking_batched._ANGLE_VELO_EXEMPT — the angle-gate velocity
+# exemption rescaled to this implementation's ICP noise floor
+_ANGLE_VELO_EXEMPT = float(os.environ.get("PCSEQ_ANGLE_VELO_EXEMPT", 0.05))
 
 from ..ops import grid_utils, hash_graph, segment_ops
 from .registration import register_to_next_frame
@@ -214,7 +219,7 @@ def _step_impl(consts, carry, track_dir, s, *, C, anchor_pos, levels, max_icp_it
     ang = jnp.degrees(jnp.arccos(jnp.clip(jnp.sum(velo * prev_v, -1) / nrm, -1, 1)))
     new_stopped = new_stopped | (
         has_last_velo & (ang > angle_threshold_deg)
-        & (jnp.linalg.norm(velo[:, :2], axis=-1) > 0.01)
+        & (jnp.linalg.norm(velo[:, :2], axis=-1) > _ANGLE_VELO_EXEMPT)
     )
     new_stopped = jnp.where(active, new_stopped, stopped)
     new_moving = jnp.where(active, new_moving, moving)

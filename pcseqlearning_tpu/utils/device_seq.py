@@ -290,17 +290,22 @@ class DeviceSeq:
             )
         return self._ft_cache[p_cap] + (p_cap,)
 
-    def aux_frame_table(self, vals_np, p_cap=None):
-        """Per-frame [F, p_cap] view of a per-point host array (e.g. the
-        stationary flags): ONE flat upload + the same on-device gather as
-        frame_table. Pad slots read False/0."""
+    def aux_frame_table(self, vals, p_cap=None):
+        """Per-frame [F, p_cap] view of a per-point array (e.g. the
+        stationary flags): ONE flat upload (skipped when ``vals`` is
+        already a device array padded to the table height) + the same
+        on-device gather as frame_table. Pad slots read False/0."""
         if p_cap is None:
             p_cap = bucket_size(int(self.counts.max()) if self.n else 1)
-        vals_np = np.asarray(vals_np)
-        flat = np.zeros(self.flat.shape[0], vals_np.dtype)
-        flat[: self.n] = vals_np
+        if isinstance(vals, jnp.ndarray) and vals.shape[0] == self.flat.shape[0]:
+            flat_d = vals
+        else:
+            vals = np.asarray(vals)
+            flat = np.zeros(self.flat.shape[0], vals.dtype)
+            flat[: self.n] = vals
+            flat_d = jnp.asarray(flat)
         return _aux_frame_table(
-            jnp.asarray(flat), self._starts_d, self._counts_d,
+            flat_d, self._starts_d, self._counts_d,
             self.num_frames, p_cap,
         )
 
