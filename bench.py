@@ -231,11 +231,25 @@ def bench_detector():
     jax.block_until_ready(losses)
     print(f"# detector warmup (compile) step: {time.time() - t0:.1f}s", flush=True)
 
-    t0 = time.time()
-    for _ in range(n_steps):
+    # elision-proof timing: fetch the loss scalar to HOST every step. The
+    # axon relay was observed to elide re-enqueued step chains once a
+    # fetch cycle completed (511-589 'steps/s' with block_until_ready —
+    # an impossible MFU > 5); a per-step host read forces real execution
+    # and the strictly-decreasing loss verifies training is happening.
+    # Median per-step wall (first step excluded: it pays the relay's
+    # first-execution queue cost) slightly UNDER-reports throughput by
+    # one D2H latency (~65 ms) per step — honest on this link.
+    durs, last_loss = [], None
+    t_prev = time.time()
+    for i in range(n_steps):
         state, losses = train_step(state, dev_batch)
-    jax.block_until_ready(losses)
-    dt = (time.time() - t0) / n_steps
+        lv = float(losses["center_loss"])
+        now = time.time()
+        durs.append(now - t_prev)
+        t_prev = now
+        last_loss = lv
+    durs = sorted(durs[1:]) or durs
+    dt = durs[len(durs) // 2]
     steps_per_sec = 1.0 / dt
     peak = _peak_flops(jax.devices()[0])
     mfu = (flops * steps_per_sec / peak) if (flops and peak) else None
