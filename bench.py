@@ -295,14 +295,24 @@ def main():
     # robust to one noisy pass for ~30 s of extra wall
     num_passes = int(os.environ.get("BENCH_PASSES", 3))
     print(f"# scene: {num_frames} frames x {points_per_frame} pts", flush=True)
-    seq, gt = make_scene(num_frames=num_frames, points_per_frame=points_per_frame)
-    seq_dict = {
-        "point_fxyz": seq,
-        "point_sweep": seq[:, 0].astype(np.int64),
-        "point_feat": np.zeros((len(seq), 1), np.float32),
-        "frame_id": "bench_seq_000",
-        **gt,
-    }
+
+    def build_seq(seed):
+        # DISTINCT seed per timed pass: the tunneled runtime memoizes
+        # identical (program, input) executions (observed 500+ fake
+        # 'steps/s' on re-enqueued identical detector chains), so timing
+        # repeated passes over one scene could replay cached results.
+        # Same frame/point counts -> same shape buckets, no recompiles.
+        seq, gt = make_scene(num_frames=num_frames,
+                             points_per_frame=points_per_frame, seed=seed)
+        return seq, {
+            "point_fxyz": seq,
+            "point_sweep": seq[:, 0].astype(np.int64),
+            "point_feat": np.zeros((len(seq), 1), np.float32),
+            "frame_id": f"bench_seq_{seed:03d}",
+            **gt,
+        }
+
+    seq, seq_dict = build_seq(0)
 
     remover = GroundPlaneRemover(EDict(
         PILLAR_SIZE=[2, 2], LR=0.01, DECAY_STEPS=[1600], RIGID_WEIGHT=0.5,
@@ -334,9 +344,9 @@ def main():
     # (a real 210-frame sequence reuses one bucket set across its whole
     # length and across sequences); the timed second pass is the production
     # regime. The persistent compilation cache also carries across runs.
-    def run_once():
+    def run_once(d):
         t = time.time()
-        out = remover(dict(seq_dict))
+        out = remover(dict(d))
         print(f"# ground: {time.time() - t:.1f}s", flush=True)
         t = time.time()
         out = proposal(out)
@@ -350,19 +360,25 @@ def main():
     import shutil
 
     t0 = time.time()
-    run_once()
+    out = run_once(seq_dict)  # quality record: the canonical seed-0 scene
     print(f"# warmup (compile) pass: {time.time() - t0:.1f}s", flush=True)
     shutil.rmtree(tracking.model_cfg.get("DIR", "/nonexistent"), ignore_errors=True)
 
     # the tunneled TPU is shared; a single timed pass can absorb another
     # tenant's burst (observed 10x swings on identical code) — take the
-    # best of the steady-state passes. Truncation telemetry is counted
-    # over the timed passes only (warmup duplicates every stage).
+    # best of the steady-state passes, each over a DIFFERENT seeded scene
+    # (see build_seq: re-running identical inputs could be relay-memoized;
+    # memoization returns correct VALUES, so the warmup pass's seed-0
+    # quality stays the comparable mIoU series across rounds, while the
+    # timed passes get fresh values to keep the clock honest).
+    # Truncation telemetry is counted over the timed passes only (warmup
+    # duplicates every stage).
     telemetry.reset()
-    elapsed, out = [], None
+    elapsed = []
     for i in range(num_passes):
+        _, d_i = build_seq(i + 1)
         t0 = time.time()
-        out = run_once()
+        run_once(d_i)
         elapsed.append(time.time() - t0)
         print(f"# timed pass {i}: {elapsed[-1]:.1f}s", flush=True)
     elapsed_best = min(elapsed)

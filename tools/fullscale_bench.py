@@ -48,16 +48,23 @@ def main():
     from pcseqlearning_tpu.utils import telemetry
     from pcseqlearning_tpu.utils.edict import EDict
 
-    seq, gt = bench.make_scene(num_frames=args.frames,
-                               points_per_frame=args.points,
-                               moving_fraction=args.moving_fraction)
-    seq_dict = {
-        "point_fxyz": seq,
-        "point_sweep": seq[:, 0].astype(np.int64),
-        "point_feat": np.zeros((len(seq), 1), np.float32),
-        "frame_id": "fullscale_seq_000",
-        **gt,
-    }
+    def build_seq(seed):
+        # distinct seed per timed pass: identical (program, input) pairs
+        # can be relay-memoized on the tunneled runtime (see bench.py) —
+        # same counts, same shape buckets, fresh values
+        seq, gt = bench.make_scene(num_frames=args.frames,
+                                   points_per_frame=args.points,
+                                   moving_fraction=args.moving_fraction,
+                                   seed=seed)
+        return {
+            "point_fxyz": seq,
+            "point_sweep": seq[:, 0].astype(np.int64),
+            "point_feat": np.zeros((len(seq), 1), np.float32),
+            "frame_id": f"fullscale_seq_{seed:03d}",
+            **gt,
+        }
+
+    seq_dict = build_seq(0)
 
     remover = GroundPlaneRemover(EDict(
         PILLAR_SIZE=[2, 2], LR=0.01, DECAY_STEPS=[1600], RIGID_WEIGHT=0.5,
@@ -85,10 +92,10 @@ def main():
         MAX_ICP_ITER=20,
     ))
 
-    def run_once():
+    def run_once(d):
         splits = {}
         t = time.time()
-        out = remover(dict(seq_dict))
+        out = remover(dict(d))
         splits["ground_s"] = round(time.time() - t, 1)
         t = time.time()
         out = proposal(out)
@@ -100,19 +107,19 @@ def main():
         return out, splits
 
     t0 = time.time()
-    run_once()
+    out, _ = run_once(seq_dict)  # quality record: canonical seed-0 scene
     warmup_s = round(time.time() - t0, 1)
     print(f"# warmup: {warmup_s}s", flush=True)
 
     telemetry.reset()
-    best, out = None, None
+    best = None
     for i in range(args.passes):
         t0 = time.time()
-        o, splits = run_once()
+        _, splits = run_once(build_seq(i + 1))
         dt = time.time() - t0
         print(f"# pass {i}: {dt:.1f}s {splits}", flush=True)
         if best is None or dt < best[0]:
-            best, out = (dt, splits), o
+            best = (dt, splits)
     steady_s, splits = best
     counters = telemetry.snapshot()
     for k in ("proposal_scan_windows_truncated", "proposal_halo_truncated",
