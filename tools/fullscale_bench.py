@@ -48,19 +48,24 @@ def main():
     from pcseqlearning_tpu.utils import telemetry
     from pcseqlearning_tpu.utils.edict import EDict
 
-    def build_seq(seed):
-        # distinct seed per timed pass: identical (program, input) pairs
-        # can be relay-memoized on the tunneled runtime (see bench.py) —
-        # same counts, same shape buckets, fresh values
+    def build_seq(jitter_seed):
+        # fresh input VALUES per timed pass via a 0.1 mm jitter on the
+        # same scene: defeats relay memoization of identical (program,
+        # input) pairs without changing any shape bucket (see bench.py —
+        # fully-reseeded scenes minted compile variants inside the timed
+        # passes)
         seq, gt = bench.make_scene(num_frames=args.frames,
                                    points_per_frame=args.points,
-                                   moving_fraction=args.moving_fraction,
-                                   seed=seed)
+                                   moving_fraction=args.moving_fraction)
+        if jitter_seed:
+            jr = np.random.RandomState(1000 + jitter_seed)
+            seq = seq.copy()
+            seq[:, 1:4] += jr.uniform(-1e-4, 1e-4, (len(seq), 3)).astype(np.float32)
         return {
             "point_fxyz": seq,
             "point_sweep": seq[:, 0].astype(np.int64),
             "point_feat": np.zeros((len(seq), 1), np.float32),
-            "frame_id": f"fullscale_seq_{seed:03d}",
+            "frame_id": f"fullscale_seq_{jitter_seed:03d}",
             **gt,
         }
 
